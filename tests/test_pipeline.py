@@ -1,0 +1,107 @@
+"""Pipeline-engine tests on the virtual 8-device CPU mesh.
+
+The key invariant is the reference's simulator check: the final latent is
+identical for ANY stage count (reference: src/modes/simulator.py:161-162,
+EXPERIMENT_REPORT.md norm 11,545.80 at 1/2/4/7 ranks). Here it is asserted
+elementwise against a single-device all-steps oracle, for 1/2/4/8 stages,
+all inside jitted SPMD programs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vdpp_tpu.models.dummy_unet import DummyUNet
+from vdpp_tpu.parallel.mesh import make_pipeline_mesh
+from vdpp_tpu.parallel.pipeline import (
+    PipelineConfig,
+    StepPipeline,
+    run_reference_single_device,
+)
+
+TOTAL_STEPS = 8
+LATENT = (1, 8, 3, 8, 8)  # (B, C, F, H, W)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = DummyUNet(channels=8, hidden_channels=16)
+    params = model.init(jax.random.key(0))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def oracle(model_and_params):
+    model, params = model_and_params
+    inputs = jax.random.normal(jax.random.key(42), (3, *LATENT), jnp.float32)
+    ref = run_reference_single_device(
+        lambda p, x, s: model.apply(p, x, s), params, inputs, TOTAL_STEPS
+    )
+    return inputs, np.asarray(ref)
+
+
+@pytest.mark.parametrize("num_stages", [1, 2, 4, 8])
+def test_stage_count_invariance(model_and_params, oracle, num_stages):
+    model, params = model_and_params
+    inputs, ref = oracle
+    mesh = make_pipeline_mesh(num_stages)
+    pipe = StepPipeline(
+        mesh,
+        lambda p, x, s: model.apply(p, x, s),
+        PipelineConfig(total_steps=TOTAL_STEPS, num_stages=num_stages),
+    )
+    out = pipe.run(params, inputs)
+    assert out.shape == inputs.shape
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_single_sample(model_and_params, oracle):
+    model, params = model_and_params
+    inputs, ref = oracle
+    mesh = make_pipeline_mesh(4)
+    pipe = StepPipeline(
+        mesh,
+        lambda p, x, s: model.apply(p, x, s),
+        PipelineConfig(total_steps=TOTAL_STEPS, num_stages=4),
+    )
+    out = pipe.run(params, inputs[:1])
+    np.testing.assert_allclose(np.asarray(out), ref[:1], rtol=2e-5, atol=2e-5)
+
+
+def test_sample_order_preserved(model_and_params):
+    # Each sample denoised independently: permuting inputs permutes outputs.
+    model, params = model_and_params
+    mesh = make_pipeline_mesh(2)
+    pipe = StepPipeline(
+        mesh,
+        lambda p, x, s: model.apply(p, x, s),
+        PipelineConfig(total_steps=TOTAL_STEPS, num_stages=2),
+    )
+    inputs = jax.random.normal(jax.random.key(7), (4, *LATENT), jnp.float32)
+    out = np.asarray(pipe.run(params, inputs))
+    out_rev = np.asarray(pipe.run(params, inputs[::-1]))
+    np.testing.assert_allclose(out, out_rev[::-1], rtol=2e-5, atol=2e-5)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(total_steps=30, num_stages=7)  # non-divisible
+    with pytest.raises(ValueError):
+        PipelineConfig(total_steps=0, num_stages=1)
+    cfg = PipelineConfig(total_steps=28, num_stages=7)
+    assert cfg.steps_per_stage == 4
+    assert cfg.num_ticks(16) == 22
+    assert cfg.bubble_fraction(16) == pytest.approx(6 / 22)
+    assert cfg.bubble_fraction(1) == pytest.approx(6 / 7)
+
+
+def test_mesh_stage_mismatch_rejected(model_and_params):
+    model, params = model_and_params
+    mesh = make_pipeline_mesh(2)
+    with pytest.raises(ValueError, match="stage axis"):
+        StepPipeline(
+            mesh,
+            lambda p, x, s: model.apply(p, x, s),
+            PipelineConfig(total_steps=8, num_stages=4),
+        )

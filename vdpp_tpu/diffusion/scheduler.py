@@ -1,0 +1,158 @@
+"""Pure-JAX EulerDiscrete/Karras v-prediction noise schedule for SVD.
+
+The reference embeds a diffusers ``EulerDiscreteScheduler`` configured with
+``prediction_type="v_prediction"``, ``use_karras_sigmas=True``,
+``sigma_min=0.002``, ``sigma_max=700.0``, ``timestep_type="continuous"``,
+``timestep_spacing="leading"``, ``steps_offset=1``
+(reference: src/models/svd_unet.py:77-102).
+
+For that exact configuration the entire scheduler collapses to closed-form
+math, which we implement directly (no beta tables needed at inference time):
+
+* sigma table: the Karras et al. (2022) rho=7 ramp from ``sigma_max`` down to
+  ``sigma_min`` with a trailing 0:
+      sigma_i = (smax^(1/rho) + i/(n-1) * (smin^(1/rho) - smax^(1/rho)))^rho
+* the timestep fed to the UNet is the EDM "c_noise": ``0.25 * ln(sigma)``
+  (diffusers sets timesteps = 0.25*log(sigmas) when timestep_type is
+  "continuous" and prediction is v_prediction);
+* ``init_noise_sigma = sqrt(sigma_0^2 + 1)`` for "leading" spacing;
+* model-input scaling ``x / sqrt(sigma^2 + 1)``
+  (reference: src/models/svd_unet.py:381-382);
+* the per-step Euler update in fp32
+  (reference: src/models/svd_unet.py:427-439):
+      x0_hat = eps * (-sigma / sqrt(sigma^2+1)) + x / (sigma^2 + 1)
+      x     <- x + (x - x0_hat) / sigma * (sigma_next - sigma)
+
+Everything here is jittable; ``sigma``/``sigma_next`` may be traced scalars
+gathered from the precomputed table with a dynamic index, which is what the
+pipeline engine does inside its scan.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def karras_sigmas(
+    num_steps: int,
+    sigma_min: float = 0.002,
+    sigma_max: float = 700.0,
+    rho: float = 7.0,
+) -> np.ndarray:
+    """Karras rho-ramp sigma table, descending, with the trailing 0.
+
+    Returns:
+        float32 array of shape ``(num_steps + 1,)``; ``sigmas[0] == sigma_max``,
+        ``sigmas[-2] == sigma_min``, ``sigmas[-1] == 0``.
+    """
+    if num_steps < 1:
+        raise ValueError("num_steps must be >= 1")
+    if num_steps == 1:
+        ramp = np.zeros(1, dtype=np.float64)
+    else:
+        ramp = np.linspace(0.0, 1.0, num_steps, dtype=np.float64)
+    min_inv_rho = sigma_min ** (1.0 / rho)
+    max_inv_rho = sigma_max ** (1.0 / rho)
+    sig = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+    return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
+def continuous_timesteps(sigmas: np.ndarray) -> np.ndarray:
+    """EDM c_noise timesteps ``0.25 * ln(sigma)`` for the active steps."""
+    return (0.25 * np.log(sigmas[:-1])).astype(np.float32)
+
+
+def default_timestep_schedule(num_steps: int, num_train_timesteps: int = 1000) -> list[int]:
+    """Discrete descending 'leading'-style schedule.
+
+    API-parity helper mirroring reference src/models/svd_unet.py:201-217
+    (used by the simulator/dummy paths where steps are plain ints).
+    """
+    step_ratio = num_train_timesteps // num_steps
+    return list(range(num_train_timesteps - 1, -1, -step_ratio))[:num_steps]
+
+
+def scale_model_input(sample: jax.Array, sigma: jax.Array) -> jax.Array:
+    """``x / sqrt(sigma^2 + 1)`` (reference: src/models/svd_unet.py:381-382)."""
+    sigma = jnp.asarray(sigma, dtype=jnp.float32)
+    return (sample.astype(jnp.float32) * jax.lax.rsqrt(sigma * sigma + 1.0)).astype(
+        sample.dtype
+    )
+
+
+def euler_step_v_prediction(
+    latent: jax.Array,
+    noise_pred: jax.Array,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    out_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """fp32 v-prediction Euler update (reference: src/models/svd_unet.py:427-439)."""
+    out_dtype = out_dtype or latent.dtype
+    x = latent.astype(jnp.float32)
+    eps = noise_pred.astype(jnp.float32)
+    s = jnp.asarray(sigma, dtype=jnp.float32)
+    s_next = jnp.asarray(sigma_next, dtype=jnp.float32)
+    denom = s * s + 1.0
+    pred_original = eps * (-s * jax.lax.rsqrt(denom)) + x / denom
+    derivative = (x - pred_original) / s
+    prev = x + derivative * (s_next - s)
+    return prev.astype(out_dtype)
+
+
+@dataclass(frozen=True)
+class EulerKarrasSchedule:
+    """Precomputed schedule: sigma table + continuous timesteps.
+
+    Attributes:
+        sigmas: ``(T+1,)`` fp32, descending with trailing 0.
+        timesteps: ``(T,)`` fp32 continuous c_noise values fed to the UNet.
+        init_noise_sigma: initial-noise scale ``sqrt(sigmas[0]^2 + 1)``.
+    """
+
+    sigmas: np.ndarray
+    timesteps: np.ndarray
+    init_noise_sigma: float
+    num_steps: int = field(default=0)
+
+    @classmethod
+    def create(
+        cls,
+        num_steps: int,
+        sigma_min: float = 0.002,
+        sigma_max: float = 700.0,
+        rho: float = 7.0,
+    ) -> "EulerKarrasSchedule":
+        sig = karras_sigmas(num_steps, sigma_min, sigma_max, rho)
+        ts = continuous_timesteps(sig)
+        return cls(
+            sigmas=sig,
+            timesteps=ts,
+            init_noise_sigma=float(math.sqrt(float(sig[0]) ** 2 + 1.0)),
+            num_steps=num_steps,
+        )
+
+    def sigma_at(self, step: jax.Array | int) -> jax.Array:
+        """Dynamic (traceable) sigma lookup."""
+        return jnp.asarray(self.sigmas)[step]
+
+    def timestep_at(self, step: jax.Array | int) -> jax.Array:
+        """Dynamic (traceable) continuous-timestep lookup."""
+        return jnp.asarray(self.timesteps)[step]
+
+    def step(
+        self,
+        latent: jax.Array,
+        noise_pred: jax.Array,
+        step_idx: jax.Array | int,
+    ) -> jax.Array:
+        """One Euler update using table sigmas at ``step_idx``/``step_idx+1``."""
+        sig = jnp.asarray(self.sigmas)
+        s = sig[step_idx]
+        s_next = sig[jnp.asarray(step_idx) + 1]
+        return euler_step_v_prediction(latent, noise_pred, s, s_next)

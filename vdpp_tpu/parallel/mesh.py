@@ -1,0 +1,77 @@
+"""Device-mesh construction helpers.
+
+The reference resolves a torch.distributed backend (NCCL vs Gloo) per
+process (reference: src/distributed/backend.py:12-31, setup.py:16-47).
+TPU-natively there is no process group: a single controller builds a
+``jax.sharding.Mesh`` and every "rank" is a mesh coordinate. The CPU/Gloo
+simulator mode maps to the same code running on a host-platform CPU mesh
+(``--xla_force_host_platform_device_count=N``).
+
+Axis conventions:
+    "stage"  — pipeline stage axis (diffusion-step pipeline)
+    "data"   — batch / sample axis (data-parallel baseline)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+STAGE_AXIS = "stage"
+DATA_AXIS = "data"
+
+
+def available_devices(backend: str | None = None) -> list[jax.Device]:
+    """Devices to build meshes from; honors the VDPP_BACKEND env override
+    (the analogue of the reference's PIPELINE_BACKEND env var,
+    reference: src/distributed/backend.py:9,24)."""
+    backend = backend or os.environ.get("VDPP_BACKEND") or None
+    return list(jax.devices(backend)) if backend else list(jax.devices())
+
+
+def make_pipeline_mesh(
+    num_stages: int | None = None, backend: str | None = None
+) -> Mesh:
+    """1-D mesh over the pipeline-stage axis.
+
+    Args:
+        num_stages: stage count; defaults to all available devices. A value
+            smaller than the device count uses the first ``num_stages``
+            devices (mirrors CUDA_VISIBLE_DEVICES subsetting in the
+            reference's sweeps, reference: scripts/benchmark_throughput.sh).
+    """
+    devices = available_devices(backend)
+    if num_stages is None:
+        num_stages = len(devices)
+    if num_stages > len(devices):
+        raise ValueError(
+            f"Requested {num_stages} stages but only {len(devices)} devices available."
+        )
+    return Mesh(np.array(devices[:num_stages]), (STAGE_AXIS,))
+
+
+def make_data_mesh(num_shards: int | None = None, backend: str | None = None) -> Mesh:
+    """1-D mesh over the data (sample) axis for the DP baseline."""
+    devices = available_devices(backend)
+    if num_shards is None:
+        num_shards = len(devices)
+    if num_shards > len(devices):
+        raise ValueError(
+            f"Requested {num_shards} shards but only {len(devices)} devices available."
+        )
+    return Mesh(np.array(devices[:num_shards]), (DATA_AXIS,))
+
+
+def make_2d_mesh(
+    num_stages: int, num_data: int, backend: str | None = None
+) -> Mesh:
+    """(stage, data) mesh for combined pipeline + data parallelism."""
+    devices = available_devices(backend)
+    need = num_stages * num_data
+    if need > len(devices):
+        raise ValueError(f"Need {need} devices, have {len(devices)}.")
+    arr = np.array(devices[:need]).reshape(num_stages, num_data)
+    return Mesh(arr, (STAGE_AXIS, DATA_AXIS))

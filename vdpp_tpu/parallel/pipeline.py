@@ -1,0 +1,203 @@
+"""TPU-native step-pipeline engine.
+
+The reference implements the diffusion-step pipeline as one OS process per
+GPU with blocking ``dist.send``/``dist.recv`` latent hand-offs and a Python
+loop over samples to achieve pipeline fill
+(reference: src/pipeline/pipeline.py:54-157, run_many :113-132). That shape
+is CUDA/NCCL-idiomatic. The TPU-native design here is single-controller
+SPMD:
+
+* one ``jax.sharding.Mesh`` axis ``"stage"`` of size S;
+* the whole multi-sample schedule is a single jitted ``lax.scan`` over
+  "ticks" inside ``jax.shard_map``;
+* at tick ``t`` stage ``s`` runs its contiguous K = T/S steps on sample
+  ``t - s`` (fill/drain ticks compute on don't-care data, which is simply
+  never written to the output buffer);
+* the latent hand-off is ``jax.lax.ppermute`` along the stage axis — an ICI
+  neighbor transfer that XLA overlaps with compute, replacing NCCL P2P.
+
+Schedule (N samples, S stages, T = S*K steps):
+
+    tick:      0      1      2     ...
+    stage 0:  x0:0..K x1:0..K x2:0..K
+    stage 1:     -    x0:K..2K x1:K..2K
+    ...
+    stage S-1 emits sample t-(S-1) at tick t;  total ticks = N + S - 1.
+
+Bubble fraction is exactly ``(S-1)/(N+S-1)``: the reference's fill/steady
+accounting (reference: src/modes/benchmark.py:252-313) emerges analytically
+instead of from wall-clock arithmetic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vdpp_tpu.parallel.mesh import STAGE_AXIS
+from vdpp_tpu.parallel.step_assignment import assign_steps
+
+# step_fn(params, latent, step_idx) -> latent ; step_idx may be traced.
+StepFn = Callable[[Any, jax.Array, jax.Array], jax.Array]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration for a step pipeline.
+
+    Mirrors the validation contract of the reference's PipelineConfig
+    (reference: src/pipeline/pipeline.py:37-48) — uniform splits only for
+    the SPMD schedule.
+    """
+
+    total_steps: int
+    num_stages: int
+
+    def __post_init__(self) -> None:
+        # Reuse assign_steps validation: raises on bad/non-divisible splits.
+        assign_steps(self.total_steps, self.num_stages, 0)
+
+    @property
+    def steps_per_stage(self) -> int:
+        return self.total_steps // self.num_stages
+
+    def num_ticks(self, num_samples: int) -> int:
+        return num_samples + self.num_stages - 1
+
+    def bubble_fraction(self, num_samples: int) -> float:
+        """Exact fraction of stage-ticks wasted on fill/drain."""
+        s = self.num_stages
+        return (s - 1) / (num_samples + s - 1)
+
+
+class StepPipeline:
+    """Single-controller step-axis pipeline over a mesh ``"stage"`` axis.
+
+    Every stage holds the full model parameters (replicated over the stage
+    axis — the reference's "full UNet copy per rank" design,
+    reference: docs/context.md constraint), and runs a contiguous step
+    slice. ``run(params, inputs)`` processes ``inputs[(N, *latent)]`` and
+    returns ``(N, *latent)`` finished latents, all inside one jit.
+    """
+
+    def __init__(self, mesh: Mesh, step_fn: StepFn, config: PipelineConfig):
+        if STAGE_AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have a '{STAGE_AXIS}' axis")
+        if mesh.shape[STAGE_AXIS] != config.num_stages:
+            raise ValueError(
+                f"mesh stage axis ({mesh.shape[STAGE_AXIS]}) != "
+                f"config.num_stages ({config.num_stages})"
+            )
+        self.mesh = mesh
+        self.step_fn = step_fn
+        self.config = config
+        self._jitted: dict[tuple, Callable] = {}
+
+    # ------------------------------------------------------------------ #
+    def _build(self, num_samples: int) -> Callable:
+        cfg = self.config
+        S = cfg.num_stages
+        K = cfg.steps_per_stage
+        N = num_samples
+        num_ticks = cfg.num_ticks(N)
+        step_fn = self.step_fn
+        mesh = self.mesh
+        # Replicate over every *other* mesh axis too (e.g. a 2-D
+        # (stage, data) mesh): only "stage" is split here.
+        extra_axes = [a for a in mesh.axis_names if a != STAGE_AXIS]
+
+        def per_stage(params, inputs, buf, out_buf):
+            # Local views: buf (1, *L), out_buf (1, N, *L), inputs (N, *L).
+            s = jax.lax.axis_index(STAGE_AXIS)
+            perm = [(i, (i + 1) % S) for i in range(S)]
+
+            def tick(carry, t):
+                x, out = carry  # x: (*L,), out: (N, *L)
+                # Stage 0 ingests sample t (clamped gather; masked by where).
+                take = jnp.clip(t, 0, N - 1)
+                fresh = jax.lax.dynamic_index_in_dim(inputs, take, 0, keepdims=False)
+                x = jnp.where(s == 0, fresh, x)
+
+                def body(xc, k):
+                    return step_fn(params, xc, s * K + k), None
+
+                x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+
+                # Final stage commits its finished sample t-(S-1).
+                out_idx = t - (S - 1)
+                do_write = (s == S - 1) & (out_idx >= 0) & (out_idx < N)
+                w = jnp.clip(out_idx, 0, N - 1)
+                cur = jax.lax.dynamic_index_in_dim(out, w, 0, keepdims=False)
+                out = jax.lax.dynamic_update_index_in_dim(
+                    out, jnp.where(do_write, x, cur), w, 0
+                )
+
+                # Hand the latent to the next stage over ICI.
+                x = jax.lax.ppermute(x, STAGE_AXIS, perm)
+                return (x, out), None
+
+            (x, out), _ = jax.lax.scan(
+                tick,
+                (buf[0], out_buf[0]),
+                jnp.arange(num_ticks, dtype=jnp.int32),
+            )
+            return out[None]
+
+        pspec_rep = P()  # fully replicated
+        buf_spec = P(STAGE_AXIS)
+        sharded = jax.shard_map(
+            per_stage,
+            mesh=mesh,
+            in_specs=(pspec_rep, pspec_rep, buf_spec, buf_spec),
+            out_specs=buf_spec,
+            check_vma=False,
+        )
+
+        def run(params, inputs):
+            latent_shape = inputs.shape[1:]
+            dtype = inputs.dtype
+            buf = jnp.zeros((S, *latent_shape), dtype)
+            out_buf = jnp.zeros((S, N, *latent_shape), dtype)
+            out = sharded(params, inputs, buf, out_buf)
+            return out[S - 1]
+
+        del extra_axes  # (reserved for 2-D mesh integration)
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------ #
+    def run(self, params, inputs: jax.Array) -> jax.Array:
+        """Pipeline ``inputs (N, *latent)`` through all ``total_steps``.
+
+        Returns finished latents ``(N, *latent)`` (replicated output of the
+        last stage). Compiled once per (N, latent-shape, dtype).
+        """
+        key = (int(inputs.shape[0]), inputs.shape[1:], str(inputs.dtype))
+        if key not in self._jitted:
+            self._jitted[key] = self._build(int(inputs.shape[0]))
+        return self._jitted[key](params, inputs)
+
+
+def run_reference_single_device(
+    step_fn: StepFn, params, inputs: jax.Array, total_steps: int
+) -> jax.Array:
+    """Oracle: run every step sequentially on one device (no pipeline).
+
+    Ground truth for the stage-count invariance tests — the analogue of the
+    reference's world_size=1 simulator run whose final-latent norm all
+    multi-rank runs must reproduce (reference: src/modes/simulator.py:161-162).
+    """
+
+    @jax.jit
+    def one(params, x):
+        def body(xc, k):
+            return step_fn(params, xc, k), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(total_steps, dtype=jnp.int32))
+        return x
+
+    return jax.vmap(lambda x: one(params, x))(inputs)
