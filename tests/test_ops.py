@@ -1,0 +1,217 @@
+"""Op-level parity tests against torch-CPU oracles.
+
+diffusers is not available in this environment, so numerical correctness
+of the building blocks is established against torch.nn primitives (the
+substrate diffusers itself is built on), plus the Pallas flash kernel
+against the XLA soft-max attention.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vdpp_tpu.ops.attention import _sdpa_xla, attention, init_attention
+from vdpp_tpu.ops.conv import (
+    conv2d,
+    conv_temporal,
+    init_conv2d,
+    init_conv_temporal,
+    upsample_nearest_2x,
+)
+from vdpp_tpu.ops.embeddings import sinusoidal_embedding
+from vdpp_tpu.ops.flash_attention import flash_attention
+from vdpp_tpu.ops.linear import geglu_ff, init_geglu_ff
+from vdpp_tpu.ops.normalization import (
+    group_norm,
+    init_group_norm,
+    init_layer_norm,
+    layer_norm,
+)
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 6, 5, 32)).astype(np.float32)  # NHWC
+    scale = rng.standard_normal(32).astype(np.float32)
+    bias = rng.standard_normal(32).astype(np.float32)
+
+    got = group_norm(
+        jnp.asarray(x), {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        num_groups=8, eps=1e-6,
+    )
+
+    gn = torch.nn.GroupNorm(8, 32, eps=1e-6)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(scale))
+        gn.bias.copy_(torch.from_numpy(bias))
+    # torch wants NCHW
+    ref = gn(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(), atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 7, 48)).astype(np.float32)
+    scale = rng.standard_normal(48).astype(np.float32)
+    bias = rng.standard_normal(48).astype(np.float32)
+    got = layer_norm(
+        jnp.asarray(x), {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}, eps=1e-5
+    )
+    ln = torch.nn.LayerNorm(48, eps=1e-5)
+    with torch.no_grad():
+        ln.weight.copy_(torch.from_numpy(scale))
+        ln.bias.copy_(torch.from_numpy(bias))
+    ref = ln(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(), atol=1e-5)
+
+
+def test_conv2d_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 8, 8, 5)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 5, 7)).astype(np.float32) * 0.1
+    b = rng.standard_normal(7).astype(np.float32)
+    got = conv2d(jnp.asarray(x), {"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    conv = torch.nn.Conv2d(5, 7, 3, padding=1)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w).permute(3, 2, 0, 1))  # OIHW
+        conv.bias.copy_(torch.from_numpy(b))
+    ref = conv(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(), atol=1e-4)
+
+
+def test_conv2d_stride2_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 4, 6)).astype(np.float32) * 0.1
+    b = np.zeros(6, np.float32)
+    got = conv2d(
+        jnp.asarray(x), {"w": jnp.asarray(w), "b": jnp.asarray(b)},
+        stride=2, padding=((1, 1), (1, 1)),
+    )
+    conv = torch.nn.Conv2d(4, 6, 3, stride=2, padding=1, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w).permute(3, 2, 0, 1))
+    ref = conv(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    assert got.shape == tuple(ref.shape)
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(), atol=1e-4)
+
+
+def test_conv_temporal_matches_torch_conv3d():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 6, 4, 5, 3)).astype(np.float32)  # (B,F,H,W,C)
+    w = rng.standard_normal((3, 1, 1, 3, 4)).astype(np.float32) * 0.2  # DHWIO
+    b = rng.standard_normal(4).astype(np.float32)
+    got = conv_temporal(jnp.asarray(x), {"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    conv = torch.nn.Conv3d(3, 4, (3, 1, 1), padding=(1, 0, 0))
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w).permute(4, 3, 0, 1, 2))  # O I D H W
+        conv.bias.copy_(torch.from_numpy(b))
+    # torch layout (B, C, D=F, H, W)
+    ref = conv(torch.from_numpy(x).permute(0, 4, 1, 2, 3)).permute(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(), atol=1e-4)
+
+
+def test_upsample_nearest_matches_torch():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, 4, 6)).astype(np.float32)
+    got = upsample_nearest_2x(jnp.asarray(x))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2, mode="nearest"
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy())
+
+
+def test_geglu_matches_torch():
+    rng = np.random.default_rng(6)
+    dim, inner = 16, 32
+    x = rng.standard_normal((2, 5, dim)).astype(np.float32)
+    params = init_geglu_ff(jax.random.key(0), dim, inner_dim=inner)
+    got = geglu_ff(jnp.asarray(x), params)
+
+    w1 = np.asarray(params["proj_in"]["w"])
+    b1 = np.asarray(params["proj_in"]["b"])
+    w2 = np.asarray(params["proj_out"]["w"])
+    b2 = np.asarray(params["proj_out"]["b"])
+    xt = torch.from_numpy(x)
+    h = xt @ torch.from_numpy(w1) + torch.from_numpy(b1)
+    val, gate = h.chunk(2, dim=-1)
+    h = val * torch.nn.functional.gelu(gate)  # exact erf gelu
+    ref = h @ torch.from_numpy(w2) + torch.from_numpy(b2)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+
+def test_attention_matches_torch_sdpa():
+    rng = np.random.default_rng(7)
+    b, l, c, heads = 2, 10, 32, 4
+    x = rng.standard_normal((b, l, c)).astype(np.float32)
+    params = init_attention(jax.random.key(1), c, heads)
+    got = attention(jnp.asarray(x), params, heads, use_flash=False)
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    xt = t(x)
+    q = (xt @ t(params["to_q"]["w"])).view(b, l, heads, c // heads).transpose(1, 2)
+    k = (xt @ t(params["to_k"]["w"])).view(b, l, heads, c // heads).transpose(1, 2)
+    v = (xt @ t(params["to_v"]["w"])).view(b, l, heads, c // heads).transpose(1, 2)
+    o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+    o = o.transpose(1, 2).reshape(b, l, c)
+    ref = o @ t(params["to_out"]["w"]) + t(params["to_out"]["b"])
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+
+def test_single_key_cross_attention_fast_path():
+    # kv_len==1: softmax over one key is 1 -> output == to_out(to_v(ctx)).
+    rng = np.random.default_rng(8)
+    b, l, c, heads = 2, 6, 16, 2
+    x = rng.standard_normal((b, l, c)).astype(np.float32)
+    ctx = rng.standard_normal((b, 1, 24)).astype(np.float32)
+    params = init_attention(jax.random.key(2), c, heads, cross_dim=24)
+    got = attention(jnp.asarray(x), params, heads, context=jnp.asarray(ctx))
+    # Brute-force oracle with explicit softmax over the single key.
+    q = x @ np.asarray(params["to_q"]["w"])
+    k = ctx @ np.asarray(params["to_k"]["w"])
+    v = ctx @ np.asarray(params["to_v"]["w"])
+    d = c // heads
+    qh = q.reshape(b, l, heads, d)
+    kh = k.reshape(b, 1, heads, d)
+    vh = v.reshape(b, 1, heads, d)
+    s = np.einsum("blhd,bmhd->bhlm", qh, kh) / np.sqrt(d)
+    w = np.exp(s - s.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)  # == 1
+    o = np.einsum("bhlm,bmhd->blhd", w, vh).reshape(b, l, c)
+    ref = o @ np.asarray(params["to_out"]["w"]) + np.asarray(params["to_out"]["b"])
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("l", [128, 200, 512])
+def test_flash_attention_matches_xla(l):
+    rng = np.random.default_rng(9)
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    ref = _sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sinusoidal_embedding_basic():
+    emb = sinusoidal_embedding(jnp.array([0.0]), 8)
+    # t=0: sin part 0, cos part 1; flipped -> cos first.
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), np.ones(4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), np.zeros(4), atol=1e-6)
+
+
+def test_sinusoidal_embedding_matches_manual():
+    import math
+
+    dim, t = 16, 3.7
+    half = dim // 2
+    freqs = np.exp(-math.log(10000.0) * np.arange(half) / half)
+    args = t * freqs
+    expected = np.concatenate([np.cos(args), np.sin(args)])
+    got = sinusoidal_embedding(jnp.array([t]), dim)[0]
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)

@@ -1,0 +1,487 @@
+"""Spatio-temporal conditioned video UNet (SVD architecture), functional JAX.
+
+First-party re-implementation of the architecture the reference drives
+through diffusers' ``UNetSpatioTemporalConditionModel``
+(reference: src/models/svd_unet.py:104-164 loads it; the reference repo
+contains no model code of its own). Architecture family:
+
+* 8-channel input (4 noisy latent + 4 conditioning-image latent),
+  4-channel v-prediction output;
+* 4 resolution levels (320/640/1280/1280), 2 layers per block;
+* every layer is a SpatioTemporalResBlock (spatial ResNet + temporal
+  (3,1,1)-conv ResNet, blended by a learned sigmoid mix factor) and — on
+  cross-attention levels — a spatio-temporal transformer (spatial
+  self-attention over H*W tokens, CLIP-image cross-attention with a single
+  key, temporal self-attention over frames, learned spatial/temporal blend);
+* continuous-timestep embedding plus fps/motion/noise-aug "added time ids"
+  embedding (256-dim sinusoids -> 768 -> 1280).
+
+TPU-first design choices (vs the torch original):
+* channels-last everywhere (NHWC spatial convs, NDHWC temporal convs) —
+  the layout XLA tiles onto the MXU;
+* bf16 params/activations, fp32 norm statistics and matmul accumulation;
+* single-key cross-attention computed without softmax (exact — see
+  vdpp_tpu.ops.attention), Pallas flash attention for long spatial
+  sequences;
+* a fully configurable topology so tests run a tiny 2-level variant with
+  the identical code path.
+
+Parameter tree layout mirrors the architecture so the HF-checkpoint
+converter (vdpp_tpu.utils.weights) is a mechanical name mapping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from vdpp_tpu.ops.attention import attention, init_attention
+from vdpp_tpu.ops.conv import (
+    conv2d,
+    conv_temporal,
+    init_conv2d,
+    init_conv_temporal,
+    upsample_nearest_2x,
+)
+from vdpp_tpu.ops.embeddings import init_timestep_mlp, sinusoidal_embedding, timestep_mlp
+from vdpp_tpu.ops.linear import geglu_ff, init_geglu_ff, init_linear, linear
+from vdpp_tpu.ops.normalization import (
+    group_norm,
+    init_group_norm,
+    init_layer_norm,
+    layer_norm,
+)
+
+
+@dataclass(frozen=True)
+class SVDUNetConfig:
+    """Architecture hyper-parameters.
+
+    ``svd_xt()`` reproduces the stable-video-diffusion-img2vid(-xt) UNet
+    topology; ``tiny()`` is a structurally identical 2-level model for
+    tests and the multi-chip dry run.
+    """
+
+    in_channels: int = 8
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    transformer_layers_per_block: int = 1
+    num_attention_heads: tuple[int, ...] = (5, 10, 20, 20)
+    cross_attention_dim: int = 1024
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 768
+    norm_num_groups: int = 32
+    resnet_eps: float = 1e-6
+    transformer_eps: float = 1e-6
+    out_norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.block_out_channels)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @classmethod
+    def svd_xt(cls, dtype=jnp.bfloat16) -> "SVDUNetConfig":
+        return cls(dtype=dtype)
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "SVDUNetConfig":
+        return cls(
+            block_out_channels=(32, 64),
+            num_attention_heads=(2, 4),
+            layers_per_block=1,
+            cross_attention_dim=48,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=24,
+            norm_num_groups=8,
+            dtype=dtype,
+        )
+
+
+class _Keys:
+    """Deterministic fresh-key generator for init."""
+
+    def __init__(self, key: jax.Array):
+        self._key = key
+        self._n = 0
+
+    def __call__(self) -> jax.Array:
+        self._n += 1
+        return jax.random.fold_in(self._key, self._n)
+
+
+# --------------------------------------------------------------------- #
+# Spatio-temporal ResNet block
+# --------------------------------------------------------------------- #
+def _init_spatial_resnet(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int) -> dict:
+    p = {
+        "norm1": init_group_norm(in_ch, cfg.dtype),
+        "conv1": init_conv2d(kg(), in_ch, out_ch, 3, cfg.dtype),
+        "time_emb_proj": init_linear(kg(), cfg.time_embed_dim, out_ch, cfg.dtype),
+        "norm2": init_group_norm(out_ch, cfg.dtype),
+        "conv2": init_conv2d(kg(), out_ch, out_ch, 3, cfg.dtype),
+    }
+    if in_ch != out_ch:
+        p["conv_shortcut"] = init_conv2d(kg(), in_ch, out_ch, 1, cfg.dtype)
+    return p
+
+
+def _spatial_resnet(p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig) -> jax.Array:
+    """x: (BF, H, W, C), emb: (BF, time_embed_dim)."""
+    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = conv2d(h, p["conv1"])
+    temb = linear(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype), p["time_emb_proj"])
+    h = h + temb[:, None, None, :]
+    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = conv2d(h, p["conv2"])
+    shortcut = conv2d(x, p["conv_shortcut"]) if "conv_shortcut" in p else x
+    return shortcut + h
+
+
+def _init_temporal_resnet(kg: _Keys, cfg: SVDUNetConfig, ch: int) -> dict:
+    return {
+        "norm1": init_group_norm(ch, cfg.dtype),
+        "conv1": init_conv_temporal(kg(), ch, ch, 3, cfg.dtype),
+        "time_emb_proj": init_linear(kg(), cfg.time_embed_dim, ch, cfg.dtype),
+        "norm2": init_group_norm(ch, cfg.dtype),
+        "conv2": init_conv_temporal(kg(), ch, ch, 3, cfg.dtype),
+    }
+
+
+def _temporal_resnet(
+    p: dict, x: jax.Array, emb_bf: jax.Array, cfg: SVDUNetConfig
+) -> jax.Array:
+    """x: (B, F, H, W, C), emb_bf: (B, F, time_embed_dim)."""
+    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = conv_temporal(h, p["conv1"])
+    temb = linear(
+        jax.nn.silu(emb_bf.astype(jnp.float32)).astype(emb_bf.dtype), p["time_emb_proj"]
+    )
+    h = h + temb[:, :, None, None, :]
+    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = conv_temporal(h, p["conv2"])
+    return x + h
+
+
+def _init_st_resblock(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int) -> dict:
+    return {
+        "spatial": _init_spatial_resnet(kg, cfg, in_ch, out_ch),
+        "temporal": _init_temporal_resnet(kg, cfg, out_ch),
+        # Learned spatial/temporal blend, alpha = sigmoid(mix_factor);
+        # init 0.5 pre-sigmoid matches the family convention.
+        "mix_factor": jnp.asarray(0.5, cfg.dtype),
+    }
+
+
+def _st_resblock(
+    p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig, batch: int, frames: int
+) -> jax.Array:
+    """x: (B*F, H, W, C) -> same; blends spatial and temporal residual paths."""
+    bf, hh, ww, _ = x.shape
+    h_spatial = _spatial_resnet(p["spatial"], x, emb, cfg)
+    c = h_spatial.shape[-1]
+    hs = h_spatial.reshape(batch, frames, hh, ww, c)
+    emb_bf = emb.reshape(batch, frames, -1)
+    ht = _temporal_resnet(p["temporal"], hs, emb_bf, cfg)
+    alpha = jax.nn.sigmoid(p["mix_factor"].astype(jnp.float32)).astype(x.dtype)
+    out = alpha * hs + (1.0 - alpha) * ht
+    return out.reshape(bf, hh, ww, c)
+
+
+# --------------------------------------------------------------------- #
+# Spatio-temporal transformer
+# --------------------------------------------------------------------- #
+def _init_spatial_tblock(kg: _Keys, cfg: SVDUNetConfig, dim: int) -> dict:
+    return {
+        "norm1": init_layer_norm(dim, cfg.dtype),
+        "attn1": init_attention(kg(), dim, 1, dtype=cfg.dtype),  # heads passed at call
+        "norm2": init_layer_norm(dim, cfg.dtype),
+        "attn2": init_attention(kg(), dim, 1, cross_dim=cfg.cross_attention_dim, dtype=cfg.dtype),
+        "norm3": init_layer_norm(dim, cfg.dtype),
+        "ff": init_geglu_ff(kg(), dim, dtype=cfg.dtype),
+    }
+
+
+def _spatial_tblock(
+    p: dict, h: jax.Array, ctx: jax.Array, heads: int
+) -> jax.Array:
+    """BasicTransformerBlock: self-attn + single-key cross-attn + GEGLU FF.
+
+    h: (BF, L, C), ctx: (BF, 1, cross_dim).
+    """
+    h = h + attention(layer_norm(h, p["norm1"]), p["attn1"], heads)
+    h = h + attention(layer_norm(h, p["norm2"]), p["attn2"], heads, context=ctx)
+    h = h + geglu_ff(layer_norm(h, p["norm3"]), p["ff"])
+    return h
+
+
+def _init_temporal_tblock(kg: _Keys, cfg: SVDUNetConfig, dim: int) -> dict:
+    return {
+        "norm_in": init_layer_norm(dim, cfg.dtype),
+        "ff_in": init_geglu_ff(kg(), dim, dtype=cfg.dtype),
+        "norm1": init_layer_norm(dim, cfg.dtype),
+        "attn1": init_attention(kg(), dim, 1, dtype=cfg.dtype),
+        "norm2": init_layer_norm(dim, cfg.dtype),
+        "attn2": init_attention(kg(), dim, 1, cross_dim=cfg.cross_attention_dim, dtype=cfg.dtype),
+        "norm3": init_layer_norm(dim, cfg.dtype),
+        "ff": init_geglu_ff(kg(), dim, dtype=cfg.dtype),
+    }
+
+
+def _temporal_tblock(
+    p: dict,
+    h: jax.Array,
+    time_ctx: jax.Array,
+    heads: int,
+    batch: int,
+    frames: int,
+) -> jax.Array:
+    """Temporal transformer block: tokens are frames, sequence length F.
+
+    h: (B*F, L, C) -> reshaped to (B*L, F, C); time_ctx: (B*L, 1, cross_dim).
+    """
+    bf, l, c = h.shape
+    h = h.reshape(batch, frames, l, c).transpose(0, 2, 1, 3).reshape(batch * l, frames, c)
+    residual = h
+    h = geglu_ff(layer_norm(h, p["norm_in"]), p["ff_in"]) + residual
+    h = h + attention(layer_norm(h, p["norm1"]), p["attn1"], heads)
+    h = h + attention(layer_norm(h, p["norm2"]), p["attn2"], heads, context=time_ctx)
+    h = h + geglu_ff(layer_norm(h, p["norm3"]), p["ff"])
+    h = h.reshape(batch, l, frames, c).transpose(0, 2, 1, 3).reshape(bf, l, c)
+    return h
+
+
+def _init_st_transformer(kg: _Keys, cfg: SVDUNetConfig, dim: int) -> dict:
+    n = cfg.transformer_layers_per_block
+    return {
+        "norm": init_group_norm(dim, cfg.dtype),
+        "proj_in": init_linear(kg(), dim, dim, cfg.dtype),
+        "time_pos_embed": init_timestep_mlp(kg(), dim, dim * 4, dim, cfg.dtype),
+        "blocks": [_init_spatial_tblock(kg, cfg, dim) for _ in range(n)],
+        "temporal_blocks": [_init_temporal_tblock(kg, cfg, dim) for _ in range(n)],
+        "mix_factor": jnp.asarray(0.5, cfg.dtype),
+        "proj_out": init_linear(kg(), dim, dim, cfg.dtype),
+    }
+
+
+def _st_transformer(
+    p: dict,
+    x: jax.Array,
+    ctx: jax.Array,
+    cfg: SVDUNetConfig,
+    heads: int,
+    batch: int,
+    frames: int,
+) -> jax.Array:
+    """x: (B*F, H, W, C); ctx: (B*F, 1, cross_dim)."""
+    bf, hh, ww, c = x.shape
+    residual = x
+    h = group_norm(x, p["norm"], cfg.norm_num_groups, cfg.transformer_eps)
+    h = h.reshape(bf, hh * ww, c)
+    h = linear(h, p["proj_in"])
+
+    # Frame-position embedding added before the temporal block.
+    frame_idx = jnp.tile(jnp.arange(frames, dtype=jnp.float32), batch)  # (B*F,)
+    f_emb = sinusoidal_embedding(frame_idx, c).astype(x.dtype)
+    f_emb = timestep_mlp(f_emb, p["time_pos_embed"])[:, None, :]  # (BF, 1, C)
+
+    # Temporal cross-attention context: first-frame CLIP embedding per
+    # batch element, shared by every spatial location.
+    ctx_first = ctx.reshape(batch, frames, *ctx.shape[1:])[:, 0]  # (B, 1, D)
+    time_ctx = jnp.broadcast_to(
+        ctx_first[:, None], (batch, hh * ww, ctx_first.shape[1], ctx_first.shape[2])
+    ).reshape(batch * hh * ww, ctx_first.shape[1], ctx_first.shape[2])
+
+    alpha = jax.nn.sigmoid(p["mix_factor"].astype(jnp.float32)).astype(x.dtype)
+    for sp, tp in zip(p["blocks"], p["temporal_blocks"]):
+        h = _spatial_tblock(sp, h, ctx, heads)
+        h_mix = h + f_emb
+        h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames)
+        # switch_spatial_to_temporal_mix: alpha weights the temporal path.
+        h = (1.0 - alpha) * h + alpha * h_mix
+
+    h = linear(h, p["proj_out"])
+    return h.reshape(bf, hh, ww, c) + residual
+
+
+# --------------------------------------------------------------------- #
+# UNet
+# --------------------------------------------------------------------- #
+class SVDUNet:
+    """init/apply wrapper around the functional blocks."""
+
+    def __init__(self, config: SVDUNetConfig):
+        self.config = config
+
+    # ---------------------------- init ------------------------------- #
+    def init(self, key: jax.Array) -> dict:
+        cfg = self.config
+        kg = _Keys(key)
+        boc = cfg.block_out_channels
+        n_levels = cfg.num_levels
+        params: dict = {
+            "conv_in": init_conv2d(kg(), cfg.in_channels, boc[0], 3, cfg.dtype),
+            "time_embedding": init_timestep_mlp(
+                kg(), boc[0], cfg.time_embed_dim, dtype=cfg.dtype
+            ),
+            "add_embedding": init_timestep_mlp(
+                kg(),
+                cfg.projection_class_embeddings_input_dim,
+                cfg.time_embed_dim,
+                dtype=cfg.dtype,
+            ),
+        }
+
+        down_blocks = []
+        out_ch = boc[0]
+        for i in range(n_levels):
+            in_ch, out_ch = out_ch, boc[i]
+            is_final = i == n_levels - 1
+            block: dict = {"resnets": [], "attentions": []}
+            for j in range(cfg.layers_per_block):
+                block["resnets"].append(
+                    _init_st_resblock(kg, cfg, in_ch if j == 0 else out_ch, out_ch)
+                )
+                if not is_final:
+                    block["attentions"].append(
+                        _init_st_transformer(kg, cfg, out_ch)
+                    )
+            if not is_final:
+                block["downsample"] = init_conv2d(kg(), out_ch, out_ch, 3, cfg.dtype)
+            down_blocks.append(block)
+        params["down_blocks"] = down_blocks
+
+        mid_ch = boc[-1]
+        params["mid_block"] = {
+            "resnets": [
+                _init_st_resblock(kg, cfg, mid_ch, mid_ch),
+                _init_st_resblock(kg, cfg, mid_ch, mid_ch),
+            ],
+            "attentions": [_init_st_transformer(kg, cfg, mid_ch)],
+        }
+
+        up_blocks = []
+        rev = list(reversed(boc))
+        prev_out = rev[0]
+        for i in range(n_levels):
+            out_ch_up = rev[i]
+            skip_ch = rev[min(i + 1, n_levels - 1)]
+            is_first = i == 0
+            is_final = i == n_levels - 1
+            block = {"resnets": [], "attentions": []}
+            for j in range(cfg.layers_per_block + 1):
+                res_skip = skip_ch if j == cfg.layers_per_block else out_ch_up
+                res_in = prev_out if j == 0 else out_ch_up
+                block["resnets"].append(
+                    _init_st_resblock(kg, cfg, res_in + res_skip, out_ch_up)
+                )
+                if not is_first:
+                    block["attentions"].append(
+                        _init_st_transformer(kg, cfg, out_ch_up)
+                    )
+            if not is_final:
+                block["upsample"] = init_conv2d(kg(), out_ch_up, out_ch_up, 3, cfg.dtype)
+            up_blocks.append(block)
+            prev_out = out_ch_up
+        params["up_blocks"] = up_blocks
+
+        params["conv_norm_out"] = init_group_norm(boc[0], cfg.dtype)
+        params["conv_out"] = init_conv2d(kg(), boc[0], cfg.out_channels, 3, cfg.dtype)
+        return params
+
+    # ---------------------------- apply ------------------------------ #
+    def apply(
+        self,
+        params: dict,
+        sample: jax.Array,
+        timestep: jax.Array,
+        encoder_hidden_states: jax.Array,
+        added_time_ids: jax.Array,
+    ) -> jax.Array:
+        """Denoise one step.
+
+        Args:
+            sample: (B, F, H, W, C_in) channels-last latent (+image-latent concat).
+            timestep: scalar or (B,) continuous timestep (0.25*ln(sigma)).
+            encoder_hidden_states: (B, 1, cross_attention_dim) CLIP image embedding.
+            added_time_ids: (B, 3) [fps-1, motion_bucket_id, noise_aug_strength].
+
+        Returns:
+            (B, F, H, W, C_out) v-prediction.
+        """
+        cfg = self.config
+        b, f, hh, ww, _ = sample.shape
+        heads = cfg.num_attention_heads
+
+        # --- embeddings (fp32 sinusoids, model-dtype MLPs) ---
+        t = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)), (b,))
+        t_emb = sinusoidal_embedding(t, cfg.block_out_channels[0]).astype(cfg.dtype)
+        emb = timestep_mlp(t_emb, params["time_embedding"])  # (B, TE)
+
+        add_flat = added_time_ids.astype(jnp.float32).reshape(-1)
+        add_emb = sinusoidal_embedding(add_flat, cfg.addition_time_embed_dim)
+        add_emb = add_emb.reshape(b, -1).astype(cfg.dtype)
+        emb = emb + timestep_mlp(add_emb, params["add_embedding"])
+
+        emb_f = jnp.repeat(emb, f, axis=0)  # (B*F, TE)
+        ctx_f = jnp.repeat(
+            encoder_hidden_states.astype(cfg.dtype), f, axis=0
+        )  # (B*F, 1, D)
+
+        x = sample.astype(cfg.dtype).reshape(b * f, hh, ww, sample.shape[-1])
+        x = conv2d(x, params["conv_in"])
+
+        res_stack: list[jax.Array] = [x]
+        # --- down path ---
+        n_levels = cfg.num_levels
+        for i, block in enumerate(params["down_blocks"]):
+            has_attn = i < n_levels - 1
+            for j, res_p in enumerate(block["resnets"]):
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f)
+                if has_attn:
+                    x = _st_transformer(
+                        block["attentions"][j], x, ctx_f, cfg, heads[i], b, f
+                    )
+                res_stack.append(x)
+            if "downsample" in block:
+                x = conv2d(x, block["downsample"], stride=2, padding=((1, 1), (1, 1)))
+                res_stack.append(x)
+
+        # --- mid ---
+        mid = params["mid_block"]
+        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f)
+        x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg, heads[-1], b, f)
+        x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f)
+
+        # --- up path ---
+        rev_heads = list(reversed(heads))
+        for i, block in enumerate(params["up_blocks"]):
+            has_attn = i > 0
+            for j, res_p in enumerate(block["resnets"]):
+                skip = res_stack.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f)
+                if has_attn:
+                    x = _st_transformer(
+                        block["attentions"][j], x, ctx_f, cfg, rev_heads[i], b, f
+                    )
+            if "upsample" in block:
+                x = upsample_nearest_2x(x)
+                x = conv2d(x, block["upsample"])
+
+        # --- head ---
+        x = group_norm(x, params["conv_norm_out"], cfg.norm_num_groups, cfg.out_norm_eps)
+        x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+        x = conv2d(x, params["conv_out"])
+        return x.reshape(b, f, hh, ww, cfg.out_channels)

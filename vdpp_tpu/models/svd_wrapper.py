@@ -1,0 +1,253 @@
+"""Stable Video Diffusion denoise-step wrapper.
+
+Functional analogue of the reference's ``StableVideoUNet`` wrapper
+(reference: src/models/svd_unet.py:15-439): owns the embedded
+Euler/Karras schedule, the conditioning state (CLIP image embedding,
+frame-repeated VAE image latents, added_time_ids), classifier-free
+guidance with a per-frame guidance ramp, and the per-step math
+
+    scale -> UNet (uncond/cond) -> per-frame guidance blend -> fp32 Euler.
+
+Differences from the reference (TPU-first):
+* conditioning is an explicit immutable pytree (``SVDConditioning``)
+  passed to a pure ``step`` function — no module-held buffers — so the
+  whole multi-step pipeline jits and shards;
+* latents are channels-last ``(B, F, H, W, C)`` (layout helpers convert
+  from the reference's ``(B, C, F, H, W)``);
+* CFG can run *batched* (cond/uncond stacked on the batch axis, one UNet
+  call — better MXU utilization) or *sequential* (two calls — the
+  reference's memory-saving choice, src/models/svd_unet.py:384-411).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vdpp_tpu.diffusion.scheduler import EulerKarrasSchedule, euler_step_v_prediction
+from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SVDConditioning:
+    """Immutable conditioning pytree for one generation request.
+
+    Attributes:
+        image_embeddings: (B, 1, cross_dim) CLIP image embedding.
+        image_latents: (B, F, H, W, 4) VAE-encoded conditioning image,
+            repeated per frame (channel-concatenated to the noisy latent).
+        added_time_ids: (B, 3) [fps-1, motion_bucket_id, noise_aug_strength].
+        guidance: (1, F, 1, 1, 1) per-frame CFG scale, or None for no CFG.
+    """
+
+    image_embeddings: jax.Array
+    image_latents: jax.Array
+    added_time_ids: jax.Array
+    guidance: jax.Array | None
+
+
+def make_added_time_ids(
+    batch_size: int,
+    fps: int = 6,
+    motion_bucket_id: int = 127,
+    noise_aug_strength: float = 0.02,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """[fps-1, motion_bucket_id, noise_aug_strength] per batch element
+    (reference: src/models/svd_unet.py:250-256)."""
+    row = jnp.asarray([fps - 1, motion_bucket_id, noise_aug_strength], dtype)
+    return jnp.tile(row[None, :], (batch_size, 1))
+
+
+def make_guidance_ramp(
+    guidance_scale: float | None, num_frames: int, dtype=jnp.float32
+) -> jax.Array | None:
+    """Linear per-frame guidance 1.0 -> guidance_scale over F frames
+    (reference: src/models/svd_unet.py:270-274); None disables CFG."""
+    if guidance_scale is None or guidance_scale <= 1.0:
+        return None
+    ramp = jnp.linspace(1.0, guidance_scale, num_frames, dtype=dtype)
+    return ramp.reshape(1, num_frames, 1, 1, 1)
+
+
+def make_conditioning(
+    image_embeddings: jax.Array,
+    image_latents: jax.Array,
+    num_frames: int,
+    fps: int = 6,
+    motion_bucket_id: int = 127,
+    noise_aug_strength: float = 0.02,
+    guidance_scale: float | None = None,
+    dtype=jnp.float32,
+) -> SVDConditioning:
+    """Build conditioning (reference set_conditioning semantics,
+    src/models/svd_unet.py:219-279)."""
+    if image_embeddings.ndim == 2:
+        image_embeddings = image_embeddings[:, None, :]
+    b = image_embeddings.shape[0]
+    return SVDConditioning(
+        image_embeddings=image_embeddings.astype(dtype),
+        image_latents=image_latents.astype(dtype),
+        added_time_ids=make_added_time_ids(
+            b, fps, motion_bucket_id, noise_aug_strength, dtype
+        ),
+        guidance=make_guidance_ramp(guidance_scale, num_frames, dtype),
+    )
+
+
+def make_dummy_conditioning(
+    key: jax.Array,
+    batch_size: int,
+    num_frames: int,
+    height: int,
+    width: int,
+    cross_dim: int = 1024,
+    guidance_scale: float | None = None,
+    dtype=jnp.float32,
+    **kwargs,
+) -> SVDConditioning:
+    """Random conditioning for benchmarks — no CLIP/VAE needed
+    (reference: src/models/svd_unet.py:281-338)."""
+    k1, k2 = jax.random.split(key)
+    return make_conditioning(
+        image_embeddings=jax.random.normal(k1, (batch_size, 1, cross_dim), dtype),
+        image_latents=jax.random.normal(
+            k2, (batch_size, num_frames, height, width, 4), dtype
+        ),
+        num_frames=num_frames,
+        guidance_scale=guidance_scale,
+        dtype=dtype,
+        **kwargs,
+    )
+
+
+# Layout bridges to/from the reference's (B, C, F, H, W) convention.
+def latent_from_reference_layout(x: jax.Array) -> jax.Array:
+    """(B, C, F, H, W) -> (B, F, H, W, C)."""
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def latent_to_reference_layout(x: jax.Array) -> jax.Array:
+    """(B, F, H, W, C) -> (B, C, F, H, W)."""
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+class StableVideoUNet:
+    """SVD denoiser with embedded schedule; exposes the pipeline's
+    ``step_fn(params, latent, step)`` contract.
+
+    Latent layout: (B, F, H, W, 4) channels-last.
+    """
+
+    def __init__(
+        self,
+        config: SVDUNetConfig | None = None,
+        num_steps: int = 25,
+        sigma_min: float = 0.002,
+        sigma_max: float = 700.0,
+        cfg_mode: str = "sequential",
+    ):
+        if cfg_mode not in ("sequential", "batched"):
+            raise ValueError("cfg_mode must be 'sequential' or 'batched'")
+        self.config = config or SVDUNetConfig.svd_xt()
+        self.unet = SVDUNet(self.config)
+        self.schedule = EulerKarrasSchedule.create(num_steps, sigma_min, sigma_max)
+        self.cfg_mode = cfg_mode
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return self.schedule.init_noise_sigma
+
+    def init(self, key: jax.Array) -> dict:
+        return self.unet.init(key)
+
+    # -------------------------------------------------------------- #
+    def noise_pred(
+        self,
+        params: dict,
+        latent_scaled: jax.Array,
+        timestep: jax.Array,
+        cond: SVDConditioning,
+    ) -> jax.Array:
+        """UNet eval(s) incl. CFG; input is the pre-scaled latent."""
+        model_dtype = self.config.dtype
+
+        def unet_call(lat_scaled, image_latents, ctx, added_time_ids=None):
+            if added_time_ids is None:
+                added_time_ids = cond.added_time_ids
+            x = jnp.concatenate(
+                [lat_scaled.astype(model_dtype), image_latents.astype(model_dtype)],
+                axis=-1,
+            )
+            return self.unet.apply(params, x, timestep, ctx, added_time_ids)
+
+        if cond.guidance is None:
+            return unet_call(latent_scaled, cond.image_latents, cond.image_embeddings)
+
+        zeros_lat = jnp.zeros_like(cond.image_latents)
+        zeros_ctx = jnp.zeros_like(cond.image_embeddings)
+        if self.cfg_mode == "sequential":
+            # Two passes — halves activation memory
+            # (reference: src/models/svd_unet.py:384-407).
+            uncond = unet_call(latent_scaled, zeros_lat, zeros_ctx)
+            cond_p = unet_call(latent_scaled, cond.image_latents, cond.image_embeddings)
+        else:
+            # One batched pass — doubles the matmul batch for the MXU.
+            both = unet_call(
+                jnp.concatenate([latent_scaled, latent_scaled], axis=0),
+                jnp.concatenate([zeros_lat, cond.image_latents], axis=0),
+                jnp.concatenate([zeros_ctx, cond.image_embeddings], axis=0),
+                jnp.concatenate([cond.added_time_ids, cond.added_time_ids], axis=0),
+            )
+            uncond, cond_p = jnp.split(both, 2, axis=0)
+        g = cond.guidance.astype(jnp.float32)
+        blended = uncond.astype(jnp.float32) + g * (
+            cond_p.astype(jnp.float32) - uncond.astype(jnp.float32)
+        )
+        return blended
+
+    def step(
+        self,
+        params: dict,
+        latent: jax.Array,
+        step_idx: jax.Array,
+        cond: SVDConditioning,
+    ) -> jax.Array:
+        """One full denoising step: scale, UNet(+CFG), fp32 Euler update
+        (reference forward(), src/models/svd_unet.py:351-439)."""
+        sigmas = jnp.asarray(self.schedule.sigmas)
+        step_idx = jnp.asarray(step_idx)
+        sigma = sigmas[step_idx]
+        sigma_next = sigmas[step_idx + 1]
+        timestep = 0.25 * jnp.log(sigma)
+
+        lat32 = latent.astype(jnp.float32)
+        scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
+        eps = self.noise_pred(params, scaled, timestep, cond)
+        return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
+
+    def bind(self, cond: SVDConditioning):
+        """Close over conditioning -> ``step_fn(params, latent, step)``.
+        Convenient for small tests; for jitted pipelines prefer
+        ``pipeline_step_fn`` (conditioning passed as data, not baked into
+        the program as constants)."""
+
+        def step_fn(params: Any, latent: jax.Array, step_idx: jax.Array) -> jax.Array:
+            return self.step(params, latent, step_idx, cond)
+
+        return step_fn
+
+    def pipeline_step_fn(self):
+        """``step_fn(bundle, latent, step)`` where ``bundle = (unet_params,
+        SVDConditioning)`` — both travel through the pipeline engine as one
+        replicated pytree argument."""
+
+        def step_fn(bundle, latent: jax.Array, step_idx: jax.Array) -> jax.Array:
+            params, cond = bundle
+            return self.step(params, latent, step_idx, cond)
+
+        return step_fn

@@ -1,0 +1,92 @@
+"""Multi-head attention for the spatio-temporal transformer blocks.
+
+Three regimes, dispatched on static shapes:
+
+* ``kv_len == 1`` (SVD's CLIP-image cross-attention has a single key):
+  softmax over one key is identically 1, so attention degenerates to a
+  broadcast of the value projection — no score matrix, no softmax. This
+  removes the entire QK^T/softmax cost of every cross-attention site
+  (mathematically exact, not an approximation).
+* long sequences: a fused Pallas flash-attention kernel
+  (vdpp_tpu.ops.flash_attention) keeps the O(L^2) score matrix out of HBM.
+* short sequences / fallback: plain XLA dot-product attention with fp32
+  softmax.
+
+The reference gets this via xformers / torch SDPA on CUDA
+(reference: src/models/svd_unet.py:139-149, enable_memory_optimizations
+:166-194); here it is first-party.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vdpp_tpu.ops.linear import init_linear, linear
+
+# Sequence length at/above which the Pallas kernel is used on TPU.
+_FLASH_MIN_Q_LEN = 512
+
+
+def init_attention(
+    key: jax.Array,
+    query_dim: int,
+    heads: int,
+    cross_dim: int | None = None,
+    dtype=jnp.float32,
+) -> dict:
+    """QKV (no bias) + output (bias) projections, diffusers ``Attention`` shape."""
+    kv_dim = cross_dim or query_dim
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "to_q": init_linear(k1, query_dim, query_dim, dtype, use_bias=False),
+        "to_k": init_linear(k2, kv_dim, query_dim, dtype, use_bias=False),
+        "to_v": init_linear(k3, kv_dim, query_dim, dtype, use_bias=False),
+        "to_out": init_linear(k4, query_dim, query_dim, dtype),
+    }
+
+
+def _sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """(B, L, H, D) dot-product attention with fp32 softmax."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum(
+        "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhlm,bmhd->blhd", weights, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def attention(
+    x: jax.Array,
+    params: dict,
+    heads: int,
+    context: jax.Array | None = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Multi-head attention over (B, L, C); ``context`` (B, M, Ckv) for
+    cross-attention (self-attention when None)."""
+    b, l, c = x.shape
+    ctx = x if context is None else context
+    m = ctx.shape[1]
+    d = c // heads
+
+    v = linear(ctx, params["to_v"])
+    if m == 1:
+        # Single-key cross-attention: softmax == 1 -> output is v broadcast.
+        out = jnp.broadcast_to(v, (b, l, c))
+        return linear(out, params["to_out"])
+
+    q = linear(x, params["to_q"]).reshape(b, l, heads, d)
+    k = linear(ctx, params["to_k"]).reshape(b, m, heads, d)
+    v = v.reshape(b, m, heads, d)
+
+    if use_flash and context is None and l >= _FLASH_MIN_Q_LEN:
+        from vdpp_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)
+    else:
+        out = _sdpa_xla(q, k, v)
+    return linear(out.reshape(b, l, c), params["to_out"])

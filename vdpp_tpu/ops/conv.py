@@ -1,0 +1,69 @@
+"""Convolutions in channels-last layouts (the TPU-native conv layout).
+
+Spatial convs run per-frame on (N, H, W, C); temporal convs run on
+(B, F, H, W, C) with a (k,1,1) kernel over the frame axis — the layout
+XLA tiles best onto the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def init_conv2d(
+    key: jax.Array, in_ch: int, out_ch: int, kernel: int = 3, dtype=jnp.float32
+) -> dict:
+    """HWIO kernel, LeCun-normal."""
+    fan_in = in_ch * kernel * kernel
+    w = jax.random.normal(key, (kernel, kernel, in_ch, out_ch), jnp.float32) / jnp.sqrt(
+        fan_in
+    )
+    return {"w": w.astype(dtype), "b": jnp.zeros((out_ch,), dtype)}
+
+
+def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.Array:
+    """2-D conv, NHWC. fp32 accumulation on the MXU, output in x.dtype."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def init_conv_temporal(
+    key: jax.Array, in_ch: int, out_ch: int, kernel: int = 3, dtype=jnp.float32
+) -> dict:
+    """(k,1,1) temporal kernel in DHWIO layout."""
+    fan_in = in_ch * kernel
+    w = jax.random.normal(key, (kernel, 1, 1, in_ch, out_ch), jnp.float32) / jnp.sqrt(
+        fan_in
+    )
+    return {"w": w.astype(dtype), "b": jnp.zeros((out_ch,), dtype)}
+
+
+def conv_temporal(x: jax.Array, params: dict) -> jax.Array:
+    """Temporal conv over the frame axis of (B, F, H, W, C), SAME padding."""
+    k = params["w"].shape[0]
+    pad = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((pad, pad), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x spatial upsample of (N, H, W, C)."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)

@@ -1,0 +1,157 @@
+"""Fused flash attention (Pallas/Mosaic) for TPU.
+
+Non-causal flash attention with online softmax: the (L_q, L_k) score
+matrix never materializes in HBM — scores, the running max/denominator,
+and the output accumulator live in VMEM, with QK^T and PV on the MXU in
+fp32 accumulation.
+
+This is the first-party replacement for the xformers / torch-SDPA path
+the reference leans on for its spatio-temporal attention memory wall
+(reference: src/models/svd_unet.py:139-149; docs cite O(n^2)->O(n)
+attention as the key memory fix). SVD's spatial attention runs at
+L = H*W up to 9216 tokens (1024x576 -> 72x128 latent), head_dim 64.
+
+Grid layout: (batch*heads, q_blocks, k_blocks), k innermost so the
+running-softmax state persists in VMEM scratch across the k sweep.
+Sequence lengths are padded to the block size; padded keys are masked to
+-inf at compile time (static shapes), padded query rows are sliced off on
+the host side.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, kv_valid: int, bk: int, scale: float
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (BQ, BK)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+    s = jnp.where(col < kv_valid, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (BQ, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = x.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_bhld(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    """q/k/v: (BH, L, D) -> (BH, Lq, D)."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    nq, nk = lq_p // block_q, lk_p // block_k
+
+    kernel = functools.partial(
+        _flash_kernel, kv_valid=lk, bk=block_k, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :lq, :]
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    """Flash attention over (B, L, H, D) tensors (non-causal, no mask).
+
+    Falls back to interpret mode off-TPU so the same code path is exercised
+    by the CPU-mesh tests.
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    block_q = min(block_q, max(128, 1 << (lq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (lk - 1).bit_length()))
+    interpret = jax.default_backend() != "tpu"
+
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    out = _flash_bhld(qt, kt, vt, block_q, block_k, interpret)
+    return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,60 @@
+"""Normalization ops (channels-last, fp32 statistics).
+
+GroupNorm/LayerNorm are the precision-critical glue between bf16 matmuls;
+statistics are always computed in fp32 and the result cast back to the
+input dtype (the bf16 analogue of the reference keeping its Euler update
+in fp32, reference: src/models/svd_unet.py:427-439).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def init_group_norm(channels: int, dtype=jnp.float32) -> dict:
+    return {
+        "scale": jnp.ones((channels,), dtype),
+        "bias": jnp.zeros((channels,), dtype),
+    }
+
+
+def group_norm(
+    x: jax.Array,
+    params: dict,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """GroupNorm over the trailing channel axis of a channels-last tensor.
+
+    ``x``: (..., C) with C % num_groups == 0. Statistics are taken over all
+    non-batch axes within each group — i.e. over (spatial..., C//G), where
+    the leading axis is the batch.
+    """
+    orig_dtype = x.dtype
+    b = x.shape[0]
+    c = x.shape[-1]
+    if c % num_groups != 0:
+        raise ValueError(f"channels {c} not divisible by groups {num_groups}")
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(x.shape)
+    out = xn * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(x: jax.Array, params: dict, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the trailing axis, fp32 statistics."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xn * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
