@@ -105,3 +105,17 @@ def test_mesh_stage_mismatch_rejected(model_and_params):
             lambda p, x, s: model.apply(p, x, s),
             PipelineConfig(total_steps=8, num_stages=4),
         )
+
+
+def test_run_ticked_matches_fused(model_and_params, oracle):
+    model, params = model_and_params
+    inputs, ref = oracle
+    mesh = make_pipeline_mesh(4)
+    pipe = StepPipeline(
+        mesh,
+        lambda p, x, s: model.apply(p, x, s),
+        PipelineConfig(total_steps=TOTAL_STEPS, num_stages=4),
+    )
+    out, tick_times = pipe.run_ticked(params, inputs)
+    assert len(tick_times) == pipe.config.num_ticks(3)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,189 @@
+"""Benchmark mode: pipeline or FSDP throughput measurement.
+
+Counterpart of the reference's benchmark harness
+(reference: src/modes/benchmark.py): dummy or SVD model, warmup + measured
+samples, fill/steady/throughput accounting, per-device peak memory, and
+the ``BENCHMARK_JSON=`` stdout contract.
+
+Timing model: the ticked pipeline executor gives true per-sample
+completion timestamps (sample i completes at tick i+S-1), matching the
+reference's per-sample ``perf_counter`` records
+(reference: src/modes/benchmark.py:228-235). ``--fused`` instead measures
+the single-jit whole-schedule program (max throughput; per-sample times
+are then derived, not observed).
+
+Example:
+    python -m vdpp_tpu.modes.benchmark --model dummy --num-stages 8 \
+        --total-steps 28 --num-samples 8 --warmup-samples 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+LOGGER = logging.getLogger("vdpp.benchmark")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="dummy", choices=["dummy", "svd", "svd_tiny"])
+    p.add_argument("--num-stages", type=int, default=None)
+    p.add_argument("--total-steps", type=int, default=28)
+    p.add_argument("--num-samples", type=int, default=4)
+    p.add_argument("--warmup-samples", type=int, default=1)
+    p.add_argument("--latent-shape", type=int, nargs=5, default=[1, 8, 4, 16, 16],
+                   metavar=("B", "C", "F", "H", "W"))
+    p.add_argument("--hidden-channels", type=int, default=16,
+                   help="dummy model width")
+    p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--fsdp", action="store_true",
+                   help="parameter-sharded mode: all devices, all steps")
+    p.add_argument("--fused", action="store_true",
+                   help="single-jit whole-schedule program (derived per-sample times)")
+    p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-level", default="INFO")
+    return p
+
+
+def _build_model(args, config_dtype):
+    """Returns (step_fn, bundle, latent_shape_cl, model_name)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, c, f, h, w = args.latent_shape
+    if args.model == "dummy":
+        from vdpp_tpu.models.dummy_unet import DummyUNet
+
+        model = DummyUNet(channels=c, hidden_channels=args.hidden_channels)
+        params = model.init(jax.random.key(args.seed))
+        step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
+        # DummyUNet keeps the reference's channels-first (B,C,F,H,W) layout.
+        return step_fn, params, (b, c, f, h, w), "dummy"
+
+    from vdpp_tpu.models.svd_unet import SVDUNetConfig
+    from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
+
+    config = (
+        SVDUNetConfig.tiny() if args.model == "svd_tiny" else SVDUNetConfig.svd_xt()
+    )
+    model = StableVideoUNet(config, num_steps=args.total_steps)
+    params = jax.jit(model.init)(jax.random.key(args.seed))
+    cond = make_dummy_conditioning(
+        jax.random.key(args.seed + 1), b, f, h, w,
+        cross_dim=config.cross_attention_dim,
+        guidance_scale=args.guidance_scale,
+    )
+    return model.pipeline_step_fn(), (params, cond), (b, f, h, w, 4), args.model
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from vdpp_tpu.parallel.data_parallel import FSDPRunner
+    from vdpp_tpu.parallel.mesh import make_data_mesh, make_pipeline_mesh
+    from vdpp_tpu.parallel.pipeline import PipelineConfig, StepPipeline
+    from vdpp_tpu.utils.bench_json import benchmark_results_dict, emit_benchmark_json
+    from vdpp_tpu.utils.logging import setup_logging
+    from vdpp_tpu.utils.memory import peak_memory_gb_per_device
+
+    setup_logging(args.log_level)
+    step_fn, bundle, latent_cl, model_name = _build_model(args, None)
+    total_n = args.num_samples + args.warmup_samples
+
+    inputs = jax.random.normal(
+        jax.random.key(args.seed + 2), (total_n, *latent_cl), jnp.float32
+    )
+
+    if args.fsdp:
+        mesh = make_data_mesh(args.num_stages)
+        world = mesh.shape["data"]
+        runner = FSDPRunner(mesh, step_fn, args.total_steps)
+        # warmup (compile)
+        jax.block_until_ready(runner.run(bundle, inputs[: args.warmup_samples or 1]))
+        per_sample = []
+        for i in range(args.num_samples):
+            t0 = time.perf_counter()
+            jax.block_until_ready(runner.run(bundle, inputs[i : i + 1]))
+            per_sample.append(time.perf_counter() - t0)
+        first = per_sample[0]
+        steady = sum(per_sample) / len(per_sample)
+        throughput = 1.0 / steady if steady else 0.0
+        steps_per_device = args.total_steps
+        mode = "fsdp"
+        per_sample_ms = [t * 1e3 for t in per_sample]
+    else:
+        mesh = make_pipeline_mesh(args.num_stages)
+        world = mesh.shape["stage"]
+        pipe = StepPipeline(mesh, step_fn, PipelineConfig(args.total_steps, world))
+        steps_per_device = args.total_steps // world
+        mode = "pipeline"
+        if args.fused:
+            # compile both shapes
+            jax.block_until_ready(pipe.run(bundle, inputs[:1]))
+            jax.block_until_ready(pipe.run(bundle, inputs))
+            t0 = time.perf_counter()
+            jax.block_until_ready(pipe.run(bundle, inputs[:1]))
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(pipe.run(bundle, inputs))
+            total = time.perf_counter() - t0
+            steady = (total - first) / max(total_n - 1, 1)
+            throughput = total_n / total
+            per_sample_ms = [first * 1e3] + [steady * 1e3] * (total_n - 1)
+        else:
+            out, tick_times = pipe.run_ticked(bundle, inputs)
+            # sample i completes at tick i + S - 1
+            completion = []
+            acc = 0.0
+            for t, dt in enumerate(tick_times):
+                acc += dt
+                if t >= world - 1:
+                    completion.append(acc)
+            per_sample = [
+                completion[i] - (completion[i - 1] if i else 0.0)
+                for i in range(len(completion))
+            ]
+            first = completion[0]
+            measured = per_sample[args.warmup_samples:]
+            steady = sum(measured) / len(measured) if measured else 0.0
+            throughput = 1.0 / steady if steady else 0.0
+            per_sample_ms = [t * 1e3 for t in per_sample]
+
+    results = benchmark_results_dict(
+        world_size=world,
+        total_steps=args.total_steps,
+        steps_per_device=steps_per_device,
+        model=model_name,
+        mode=mode,
+        num_samples_measured=args.num_samples,
+        warmup_samples=args.warmup_samples,
+        latent_shape=args.latent_shape,
+        first_sample_time_s=first,
+        avg_sample_time_s=steady,
+        throughput_samples_per_s=throughput,
+        per_sample_times_ms=per_sample_ms,
+        peak_memory_gb_per_device=peak_memory_gb_per_device(mesh.devices.flatten()),
+        extra={
+            "bubble_fraction": (
+                0.0 if args.fsdp else round((world - 1) / (total_n + world - 1), 4)
+            ),
+            "platform": jax.devices()[0].platform,
+        },
+    )
+    emit_benchmark_json(results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

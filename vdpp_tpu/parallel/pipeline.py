@@ -99,34 +99,48 @@ class StepPipeline:
         self._jitted: dict[tuple, Callable] = {}
 
     # ------------------------------------------------------------------ #
+    def _tick_core(self, params, inputs, x, t, num_samples: int):
+        """One pipeline tick for the local stage (inside shard_map).
+
+        x: this stage's current latent (*L,); returns (x_shifted, emitted)
+        where ``emitted`` is the stage's post-compute latent (the finished
+        sample when this is the last stage and the tick is in range).
+        """
+        cfg = self.config
+        S, K, N = cfg.num_stages, cfg.steps_per_stage, num_samples
+        step_fn = self.step_fn
+        s = jax.lax.axis_index(STAGE_AXIS)
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        # Stage 0 ingests sample t (clamped gather; fill/drain masked later).
+        take = jnp.clip(t, 0, N - 1)
+        fresh = jax.lax.dynamic_index_in_dim(inputs, take, 0, keepdims=False)
+        x = jnp.where(s == 0, fresh, x)
+
+        def body(xc, k):
+            return step_fn(params, xc, s * K + k), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+        emitted = x
+        # Hand the latent to the next stage over ICI.
+        x = jax.lax.ppermute(x, STAGE_AXIS, perm)
+        return x, emitted
+
     def _build(self, num_samples: int) -> Callable:
+        """Fused mode: the whole fill/steady/drain schedule in ONE jit."""
         cfg = self.config
         S = cfg.num_stages
-        K = cfg.steps_per_stage
         N = num_samples
         num_ticks = cfg.num_ticks(N)
-        step_fn = self.step_fn
         mesh = self.mesh
-        # Replicate over every *other* mesh axis too (e.g. a 2-D
-        # (stage, data) mesh): only "stage" is split here.
-        extra_axes = [a for a in mesh.axis_names if a != STAGE_AXIS]
 
         def per_stage(params, inputs, buf, out_buf):
             # Local views: buf (1, *L), out_buf (1, N, *L), inputs (N, *L).
             s = jax.lax.axis_index(STAGE_AXIS)
-            perm = [(i, (i + 1) % S) for i in range(S)]
 
             def tick(carry, t):
                 x, out = carry  # x: (*L,), out: (N, *L)
-                # Stage 0 ingests sample t (clamped gather; masked by where).
-                take = jnp.clip(t, 0, N - 1)
-                fresh = jax.lax.dynamic_index_in_dim(inputs, take, 0, keepdims=False)
-                x = jnp.where(s == 0, fresh, x)
-
-                def body(xc, k):
-                    return step_fn(params, xc, s * K + k), None
-
-                x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+                x, emitted = self._tick_core(params, inputs, x, t, N)
 
                 # Final stage commits its finished sample t-(S-1).
                 out_idx = t - (S - 1)
@@ -134,11 +148,8 @@ class StepPipeline:
                 w = jnp.clip(out_idx, 0, N - 1)
                 cur = jax.lax.dynamic_index_in_dim(out, w, 0, keepdims=False)
                 out = jax.lax.dynamic_update_index_in_dim(
-                    out, jnp.where(do_write, x, cur), w, 0
+                    out, jnp.where(do_write, emitted, cur), w, 0
                 )
-
-                # Hand the latent to the next stage over ICI.
-                x = jax.lax.ppermute(x, STAGE_AXIS, perm)
                 return (x, out), None
 
             (x, out), _ = jax.lax.scan(
@@ -166,8 +177,30 @@ class StepPipeline:
             out = sharded(params, inputs, buf, out_buf)
             return out[S - 1]
 
-        del extra_axes  # (reserved for 2-D mesh integration)
         return jax.jit(run)
+
+    def _build_tick(self, num_samples: int) -> Callable:
+        """Ticked mode: one jitted tick program, host-driven.
+
+        Gives true per-sample completion timestamps (the reference's
+        timing model, src/modes/benchmark.py:228-235) and is the natural
+        shape for streaming/serving where samples arrive over time.
+        """
+        mesh = self.mesh
+        buf_spec = P(STAGE_AXIS)
+
+        def per_stage(params, inputs, buf, t):
+            x, emitted = self._tick_core(params, inputs, buf[0], t, num_samples)
+            return x[None], emitted[None]
+
+        sharded = jax.shard_map(
+            per_stage,
+            mesh=mesh,
+            in_specs=(P(), P(), buf_spec, P()),
+            out_specs=(buf_spec, buf_spec),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     # ------------------------------------------------------------------ #
     def run(self, params, inputs: jax.Array) -> jax.Array:
@@ -180,6 +213,38 @@ class StepPipeline:
         if key not in self._jitted:
             self._jitted[key] = self._build(int(inputs.shape[0]))
         return self._jitted[key](params, inputs)
+
+    def run_ticked(self, params, inputs: jax.Array):
+        """Host-stepped execution returning per-tick wall-clock times.
+
+        Returns:
+            (outputs (N, *latent), tick_seconds list[num_ticks]).
+            Sample ``i`` completes at tick ``i + S - 1``.
+        """
+        import time
+
+        cfg = self.config
+        S = cfg.num_stages
+        N = int(inputs.shape[0])
+        key = ("tick", N, inputs.shape[1:], str(inputs.dtype))
+        if key not in self._jitted:
+            self._jitted[key] = self._build_tick(N)
+        tick_fn = self._jitted[key]
+
+        buf = jnp.zeros((S, *inputs.shape[1:]), inputs.dtype)
+        # Warm the compile outside the timed loop.
+        jax.block_until_ready(tick_fn(params, inputs, buf, jnp.int32(0)))
+
+        outputs = []
+        tick_times = []
+        for t in range(cfg.num_ticks(N)):
+            t0 = time.perf_counter()
+            buf, emitted = tick_fn(params, inputs, buf, jnp.int32(t))
+            jax.block_until_ready(buf)
+            tick_times.append(time.perf_counter() - t0)
+            if t >= S - 1:
+                outputs.append(emitted[S - 1])
+        return jnp.stack(outputs), tick_times
 
 
 def run_reference_single_device(
