@@ -1,0 +1,86 @@
+"""Component-level profiling of the SVD UNet forward on real TPU.
+
+Measures one jitted UNet forward at the bench shapes under different
+attention implementations and structural ablations, to locate where the
+per-step time goes. Writes findings to stderr; not part of the metric
+contract.
+
+Usage:
+    python scripts/profile_unet.py [--frames 14] [--h 72] [--w 128]
+        [--variants full_pallas,full_xla,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--h", type=int, default=72)
+    ap.add_argument("--w", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--variants",
+        default="full_pallas,full_xla,full_naive",
+        help="comma list: full_pallas, full_xla, full_naive",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
+
+    cfg = SVDUNetConfig.svd_xt()
+    unet = SVDUNet(cfg)
+    log("initializing params...")
+    t0 = time.time()
+    params = jax.block_until_ready(jax.jit(unet.init)(jax.random.key(0)))
+    log(f"init {time.time()-t0:.0f}s; device {jax.devices()[0]}")
+
+    b, f, h, w = 1, args.frames, args.h, args.w
+    x = jax.random.normal(jax.random.key(1), (b, f, h, w, cfg.in_channels), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(2), (b, 1, cfg.cross_attention_dim), jnp.float32)
+    tids = jnp.zeros((b, 3), jnp.float32)
+
+    results = {}
+    for variant in args.variants.split(","):
+        # variant grammar: attn=<impl>[+notemporal] or legacy full_<impl>
+        os.environ.pop("VDPP_ABLATE_TEMPORAL", None)
+        v = variant
+        if v.endswith("+notemporal"):
+            os.environ["VDPP_ABLATE_TEMPORAL"] = "1"
+            v = v[: -len("+notemporal")]
+        impl = v.split("_", 1)[1] if "_" in v else v
+        os.environ["VDPP_ATTN_IMPL"] = impl
+
+        fwd = jax.jit(lambda p, x: unet.apply(p, x, jnp.float32(1.0), ctx, tids))
+        t0 = time.time()
+        out = jax.block_until_ready(fwd(params, x))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            jax.block_until_ready(fwd(params, x))
+            times.append(time.time() - t0)
+        best = min(times)
+        results[variant] = best
+        log(f"{variant:16s}: {best*1e3:8.1f} ms/fwd (compile {compile_s:.0f}s)")
+        fwd.clear_cache()
+
+    log(str(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -303,13 +303,17 @@ def _st_transformer(
         ctx_first[:, None], (batch, hh * ww, ctx_first.shape[1], ctx_first.shape[2])
     ).reshape(batch * hh * ww, ctx_first.shape[1], ctx_first.shape[2])
 
+    import os as _os
+
+    ablate_temporal = _os.environ.get("VDPP_ABLATE_TEMPORAL") == "1"  # profiling only
     alpha = jax.nn.sigmoid(p["mix_factor"].astype(jnp.float32)).astype(x.dtype)
     for sp, tp in zip(p["blocks"], p["temporal_blocks"]):
         h = _spatial_tblock(sp, h, ctx, heads)
-        h_mix = h + f_emb
-        h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames)
-        # switch_spatial_to_temporal_mix: alpha weights the temporal path.
-        h = (1.0 - alpha) * h + alpha * h_mix
+        if not ablate_temporal:
+            h_mix = h + f_emb
+            h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames)
+            # switch_spatial_to_temporal_mix: alpha weights the temporal path.
+            h = (1.0 - alpha) * h + alpha * h_mix
 
     h = linear(h, p["proj_out"])
     return h.reshape(bf, hh, ww, c) + residual

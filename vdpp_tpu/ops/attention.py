@@ -19,13 +19,24 @@ The reference gets this via xformers / torch SDPA on CUDA
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from vdpp_tpu.ops.linear import init_linear, linear
 
-# Sequence length at/above which the Pallas kernel is used on TPU.
+# Sequence length at/above which the fused kernel is used on TPU.
 _FLASH_MIN_Q_LEN = 512
+
+
+def _attn_impl() -> str:
+    """Self-attention implementation for long sequences.
+
+    VDPP_ATTN_IMPL: "pallas" (first-party flash kernel, default),
+    "xla" (jax.nn.dot_product_attention), "naive" (materialized scores).
+    """
+    return os.environ.get("VDPP_ATTN_IMPL", "pallas")
 
 
 def init_attention(
@@ -34,14 +45,16 @@ def init_attention(
     heads: int,
     cross_dim: int | None = None,
     dtype=jnp.float32,
+    qkv_bias: bool = False,
 ) -> dict:
-    """QKV (no bias) + output (bias) projections, diffusers ``Attention`` shape."""
+    """QKV + output (bias) projections. ``qkv_bias=False`` matches the
+    diffusers ``Attention`` convention; CLIP-style towers use True."""
     kv_dim = cross_dim or query_dim
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "to_q": init_linear(k1, query_dim, query_dim, dtype, use_bias=False),
-        "to_k": init_linear(k2, kv_dim, query_dim, dtype, use_bias=False),
-        "to_v": init_linear(k3, kv_dim, query_dim, dtype, use_bias=False),
+        "to_q": init_linear(k1, query_dim, query_dim, dtype, use_bias=qkv_bias),
+        "to_k": init_linear(k2, kv_dim, query_dim, dtype, use_bias=qkv_bias),
+        "to_v": init_linear(k3, kv_dim, query_dim, dtype, use_bias=qkv_bias),
         "to_out": init_linear(k4, query_dim, query_dim, dtype),
     }
 
@@ -83,10 +96,18 @@ def attention(
     k = linear(ctx, params["to_k"]).reshape(b, m, heads, d)
     v = v.reshape(b, m, heads, d)
 
-    if use_flash and context is None and l >= _FLASH_MIN_Q_LEN:
-        from vdpp_tpu.ops.flash_attention import flash_attention
+    impl = _attn_impl()
+    if use_flash and context is None and l >= _FLASH_MIN_Q_LEN and impl != "naive":
+        if impl == "identity":
+            # Profiling ablation ONLY: skip the attention core (keeps the
+            # qkv/out projections) to isolate its cost. Not a real mode.
+            out = v
+        elif impl == "xla":
+            out = jax.nn.dot_product_attention(q, k, v, implementation="xla")
+        else:
+            from vdpp_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v)
+            out = flash_attention(q, k, v)
     else:
         out = _sdpa_xla(q, k, v)
     return linear(out.reshape(b, l, c), params["to_out"])

@@ -1,0 +1,69 @@
+"""Video/image output: MP4 + GIF with self-describing filenames.
+
+Counterpart of the reference's imageio-based savers with metadata-rich
+names (reference: scripts/generate_video_demo.py:198-222, 425-443).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+
+
+def frames_to_uint8(video: np.ndarray) -> np.ndarray:
+    """(F, H, W, 3) float in [-1, 1] -> uint8 [0, 255]."""
+    video = np.asarray(video, np.float32)
+    video = (video / 2.0 + 0.5).clip(0.0, 1.0)
+    return (video * 255.0 + 0.5).astype(np.uint8)
+
+
+def build_output_name(
+    prefix: str,
+    *,
+    num_frames: int,
+    steps: int,
+    stages: int,
+    fps: int,
+    seed: int,
+    ext: str,
+) -> str:
+    ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+    return f"{prefix}_{ts}_f{num_frames}_s{steps}_st{stages}_fps{fps}_seed{seed}.{ext}"
+
+
+def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
+    """Write (F, H, W, 3) uint8 frames as MP4; falls back to GIF if the
+    ffmpeg backend is unavailable in the environment."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import imageio.v3 as iio
+
+        iio.imwrite(path, frames_uint8, fps=fps, extension=".mp4")
+        LOGGER.info("wrote %s (%d frames)", path, len(frames_uint8))
+        return path
+    except Exception as e:  # pragma: no cover - backend-dependent
+        LOGGER.warning("mp4 write failed (%s); falling back to gif", e)
+        gif_path = os.path.splitext(path)[0] + ".gif"
+        return save_video_gif(frames_uint8, gif_path, fps=fps)
+
+
+def save_video_gif(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import imageio.v3 as iio
+
+    iio.imwrite(path, frames_uint8, duration=int(1000 / fps), loop=0)
+    LOGGER.info("wrote %s (%d frames)", path, len(frames_uint8))
+    return path
+
+
+def save_image_png(image_uint8: np.ndarray, path: str) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import imageio.v3 as iio
+
+    iio.imwrite(path, image_uint8)
+    return path
