@@ -1,0 +1,94 @@
+"""Flash-attention block-size tuning on real TPU.
+
+Times the Pallas kernel at SVD's level-0 attention shape
+(B=frames=14, L=72*128=9216, heads=5, D=64) across block configs, plus
+the XLA fused attention at a frame-chunked batch as a reference point.
+
+Usage: python scripts/bench_attention.py [--l 9216] [--b 14] [--heads 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=14)
+    ap.add_argument("--l", type=int, default=9216)
+    ap.add_argument("--heads", type=int, default=5)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vdpp_tpu.ops.flash_attention import flash_attention
+
+    b, l, h, d = args.b, args.l, args.heads, args.d
+    dt = jnp.bfloat16
+    q = jax.random.normal(jax.random.key(0), (b, l, h, d), dt)
+    k = jax.random.normal(jax.random.key(1), (b, l, h, d), dt)
+    v = jax.random.normal(jax.random.key(2), (b, l, h, d), dt)
+
+    flops = 4 * b * h * l * l * d  # qk + pv, mult-add
+
+    def bench(name, fn):
+        try:
+            t0 = time.time()
+            out = jax.block_until_ready(fn())
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                jax.block_until_ready(fn())
+                times.append(time.time() - t0)
+            best = min(times)
+            print(
+                f"{name:24s}: {best*1e3:8.2f} ms  "
+                f"({flops/best/1e12:6.1f} TFLOP/s)  compile {compile_s:.0f}s",
+                flush=True,
+            )
+            return best
+        except Exception as e:
+            print(f"{name:24s}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+            return None
+
+    print(f"shape: B={b} L={l} H={h} D={d}, attention core {flops/1e9:.0f} GFLOPs",
+          flush=True)
+
+    for bq, bk in [(256, 256), (512, 512), (512, 1024), (1024, 512),
+                   (1024, 1024), (512, 2304), (2304, 512)]:
+        if l % bk != 0 and bk > l:
+            continue
+        f = jax.jit(lambda q=q, k=k, v=v, bq=bq, bk=bk: flash_attention(
+            q, k, v, block_q=bq, block_k=bk))
+        bench(f"pallas {bq}x{bk}", f)
+
+    # XLA fused attention reference (scores materialized per call) —
+    # chunk the batch to keep the score tensor in memory.
+    def xla_chunked(chunk):
+        def run():
+            outs = []
+            for i in range(0, b, chunk):
+                outs.append(
+                    jax.nn.dot_product_attention(
+                        q[i:i+chunk], k[i:i+chunk], v[i:i+chunk],
+                        implementation="xla",
+                    )
+                )
+            return jnp.concatenate(outs, 0)
+        return jax.jit(run)
+
+    bench("xla chunk=2", xla_chunked(2))
+    bench("xla chunk=7", xla_chunked(7))
+
+
+if __name__ == "__main__":
+    main()
