@@ -37,8 +37,9 @@ def build_output_name(
 
 
 def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
-    """Write (F, H, W, 3) uint8 frames as MP4; falls back to GIF if the
-    ffmpeg backend is unavailable in the environment."""
+    """Write (F, H, W, 3) uint8 frames as MP4; without an ffmpeg backend
+    falls back to Y4M (native C++ writer, losslessly mp4-convertible),
+    then GIF."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import imageio.v3 as iio
@@ -47,9 +48,18 @@ def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
         LOGGER.info("wrote %s (%d frames)", path, len(frames_uint8))
         return path
     except Exception as e:  # pragma: no cover - backend-dependent
-        LOGGER.warning("mp4 write failed (%s); falling back to gif", e)
-        gif_path = os.path.splitext(path)[0] + ".gif"
-        return save_video_gif(frames_uint8, gif_path, fps=fps)
+        LOGGER.warning("mp4 write failed (%s); falling back to y4m", e)
+        try:
+            from vdpp_tpu.utils.native import write_y4m
+
+            y4m_path = os.path.splitext(path)[0] + ".y4m"
+            write_y4m(y4m_path, frames_uint8, fps=fps)
+            LOGGER.info("wrote %s (%d frames)", y4m_path, len(frames_uint8))
+            return y4m_path
+        except Exception as e2:
+            LOGGER.warning("y4m write failed (%s); falling back to gif", e2)
+            gif_path = os.path.splitext(path)[0] + ".gif"
+            return save_video_gif(frames_uint8, gif_path, fps=fps)
 
 
 def save_video_gif(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
