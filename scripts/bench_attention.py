@@ -63,13 +63,28 @@ def main():
     print(f"shape: B={b} L={l} H={h} D={d}, attention core {flops/1e9:.0f} GFLOPs",
           flush=True)
 
-    for bq, bk in [(256, 256), (512, 512), (512, 1024), (1024, 512),
-                   (1024, 1024), (512, 2304), (2304, 512)]:
-        if l % bk != 0 and bk > l:
-            continue
-        f = jax.jit(lambda q=q, k=k, v=v, bq=bq, bk=bk: flash_attention(
-            q, k, v, block_q=bq, block_k=bk))
-        bench(f"pallas {bq}x{bk}", f)
+    for bq, bkm, bk in [(512, 1536, 512), (512, 4608, 512), (512, 512, 512),
+                        (1024, 1536, 512), (512, 2304, 768), (256, 1536, 512),
+                        (512, 9216, 512), (512, 1536, 1536)]:
+        f = jax.jit(lambda q=q, k=k, v=v, bq=bq, bkm=bkm, bk=bk: flash_attention(
+            q, k, v, block_q=bq, block_k_major=bkm, block_k=bk))
+        bench(f"pallas {bq}/{bkm}/{bk}", f)
+
+    # Official JAX pallas flash kernel (batch, heads, seq, d) layout.
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash, BlockSizes)
+
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        for bq, bkm, bk in [(512, 1536, 512), (512, 512, 512)]:
+            bs = BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk, block_b=1)
+            f = jax.jit(lambda qh=qh, kh=kh, vh=vh, bs=bs: jax_flash(
+                qh, kh, vh, block_sizes=bs, sm_scale=1.0 / (args.d ** 0.5)))
+            bench(f"jax-official {bq}/{bkm}/{bk}", f)
+    except ImportError as e:
+        print("official kernel unavailable:", e)
 
     # XLA fused attention reference (scores materialized per call) —
     # chunk the batch to keep the score tensor in memory.

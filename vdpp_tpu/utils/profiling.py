@@ -1,0 +1,59 @@
+"""Tracing / profiling helpers.
+
+The reference hand-rolls wall-clock timing with cuda.synchronize fences
+(reference: src/modes/benchmark.py:192-197, pipeline.py:93-97) and had no
+profiler framework. TPU-natively we get both:
+
+* ``phase_timer`` — dispatch-fence-aware wall timing (block_until_ready
+  at the boundary, the async-dispatch analogue of cuda.synchronize);
+* ``device_trace`` — a jax.profiler trace context producing xprof/
+  TensorBoard traces of the actual device timeline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+
+import jax
+
+LOGGER = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def phase_timer(name: str, *fence_on):
+    """Time a phase; fences async dispatch on the given arrays at exit."""
+    t0 = time.perf_counter()
+    result: dict = {}
+    try:
+        yield result
+    finally:
+        for arr in fence_on:
+            jax.block_until_ready(arr)
+        result["seconds"] = time.perf_counter() - t0
+        LOGGER.info("[phase %s] %.3f s", name, result["seconds"])
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str = "/tmp/vdpp_trace"):
+    """Capture a device profile (open with xprof / tensorboard).
+
+    Falls back to a no-op if the backend does not support profiling
+    (e.g. remote-tunneled devices).
+    """
+    started = False
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception as e:  # backend without profiling
+        LOGGER.warning("profiler unavailable (%s); continuing without trace", e)
+    try:
+        yield log_dir
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+                LOGGER.info("trace written to %s", log_dir)
+            except Exception as e:
+                LOGGER.warning("stop_trace failed: %s", e)

@@ -101,6 +101,22 @@ def load_params(path: str, dtype=None) -> dict:
     return unflatten_params(flat)
 
 
+def save_params_orbax(params: Any, path: str) -> str:
+    """Persist a pytree with orbax (sharded-friendly checkpoint dir)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    return path
+
+
+def load_params_orbax(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 # ------------------------ torch-layout helpers ------------------------ #
 def _t_linear(w) -> jnp.ndarray:
     return jnp.asarray(w).T
