@@ -119,3 +119,23 @@ def test_run_ticked_matches_fused(model_and_params, oracle):
     out, tick_times = pipe.run_ticked(params, inputs)
     assert len(tick_times) == pipe.config.num_ticks(3)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_2d_mesh_pp_times_dp(model_and_params, oracle):
+    """Combined (stage x data) mesh: each data column pipelines its own
+    sample shard; result equals the single-device oracle."""
+    from vdpp_tpu.parallel.mesh import make_2d_mesh
+
+    model, params = model_and_params
+    step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
+    mesh = make_2d_mesh(num_stages=4, num_data=2)
+    pipe = StepPipeline(
+        mesh, step_fn, PipelineConfig(total_steps=TOTAL_STEPS, num_stages=4)
+    )
+    assert pipe.data_parallel_size == 2
+    inputs = jax.random.normal(jax.random.key(11), (6, *LATENT), jnp.float32)
+    ref = run_reference_single_device(step_fn, params, inputs, TOTAL_STEPS)
+    out = pipe.run(params, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError, match="divisible"):
+        pipe.run(params, inputs[:5])

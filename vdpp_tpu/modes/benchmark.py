@@ -29,7 +29,8 @@ LOGGER = logging.getLogger("vdpp.benchmark")
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="dummy", choices=["dummy", "svd", "svd_tiny"])
+    p.add_argument("--model", default="dummy",
+                   choices=["dummy", "svd", "svd_tiny", "dit", "dit_tiny"])
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--total-steps", type=int, default=28)
     p.add_argument("--num-samples", type=int, default=4)
@@ -63,6 +64,27 @@ def _build_model(args, config_dtype):
         step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
         # DummyUNet keeps the reference's channels-first (B,C,F,H,W) layout.
         return step_fn, params, (b, c, f, h, w), "dummy"
+
+    if args.model.startswith("dit"):
+        from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
+        from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
+
+        dcfg = (
+            DiTVideoConfig.tiny() if args.model == "dit_tiny"
+            else DiTVideoConfig.latte_xl()
+        )
+        wrapper = DiTVideoWrapper(dcfg, num_steps=args.total_steps)
+        params = jax.jit(wrapper.init)(jax.random.key(args.seed))
+        ctx = jax.random.normal(
+            jax.random.key(args.seed + 1), (b, 2, dcfg.cross_attention_dim)
+        )
+        guidance = make_guidance_ramp(args.guidance_scale, f)
+        return (
+            wrapper.pipeline_step_fn(),
+            (params, ctx, guidance),
+            (b, f, h, w, dcfg.in_channels),
+            args.model,
+        )
 
     from vdpp_tpu.models.svd_unet import SVDUNetConfig
     from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning

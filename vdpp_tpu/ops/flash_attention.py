@@ -1,9 +1,9 @@
 """Fused flash attention (Pallas/Mosaic) for TPU.
 
 Non-causal flash attention with online softmax: the (L_q, L_k) score
-matrix never materializes in HBM — scores, the running max/denominator,
-and the output accumulator live in VMEM, with QK^T and PV on the MXU in
-fp32 accumulation.
+matrix never materializes in HBM — scores, the running max, and the
+output accumulator live in VMEM, with QK^T and PV on the MXU in fp32
+accumulation.
 
 This is the first-party replacement for the xformers / torch-SDPA path
 the reference leans on for its spatio-temporal attention memory wall
@@ -12,17 +12,22 @@ at L = H*W up to 9216 tokens (1024x576 -> 72x128 latent), head_dim 64 —
 XLA's stock attention materializes a 23.7 GB score tensor there and OOMs
 (measured), so this kernel is required, not optional.
 
-Performance-critical structure (measured on v5e):
-* grid (batch*heads, q_blocks, k_major_blocks) with the k sweep innermost
-  so the running-softmax state persists in VMEM scratch;
-* TWO-LEVEL K tiling: the grid step loads a large ``block_k_major`` tile
-  from HBM (few DMA transfers, amortized per-grid-step overhead), and an
-  unrolled inner loop processes it in ``block_k`` MXU chunks with small
-  score tiles. A single-level 256x256 grid ran at 10.9 TFLOP/s; two-level
-  tiling with 512/1536/512 runs several times faster (grid steps drop
-  from 91k to ~7.5k at the SVD level-0 shape);
-* fp32 softmax statistics, bf16 PV matmul, mask value -0.7*float_max
-  (avoids exp(-inf - -inf) NaNs on padded keys).
+Measured bottleneck (v5e): the kernel is VPU-bound on the softmax
+elementwise passes over the (BQ, BK) score tile, NOT MXU- or DMA-bound
+(block-size sweeps showed time ∝ number of score-tile passes). The
+kernel therefore minimizes VPU passes:
+
+* **base-2 softmax**: q is pre-scaled by ``sm_scale * log2(e)`` outside
+  the kernel, and the kernel uses ``exp2`` — removes the per-tile scale
+  multiply and uses the cheaper exponential (FlashAttention-2 trick);
+* **MXU row-sums**: V is augmented with a ones column (free: head_dim 64
+  already pads to the 128-lane tile), so the softmax denominator comes
+  out of the PV matmul instead of a VPU reduction; the running ``l``
+  lives in the accumulator and is rescaled by the same alpha;
+* **conditional masking**: the padded-key mask is emitted only when the
+  sequence actually needs padding (compile-time decision);
+* fp32 running statistics; bf16 P for the PV matmul; mask value
+  -0.7*float_max (avoids exp(-inf - -inf) NaNs).
 """
 
 from __future__ import annotations
@@ -36,11 +41,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2E = math.log2(math.e)
+# lane width of the augmented V/accumulator (head_dim + 1 ones column,
+# padded to the hardware lane count)
+_AUG = 128
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, kv_valid: int, bk_major: int, bk: int, scale: float,
+    q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr,
+    *, kv_valid: int, bk_major: int, bk: int, need_mask: bool, head_dim: int,
 ):
     ki_major = pl.program_id(2)
     nk_major = pl.num_programs(2)
@@ -48,50 +57,45 @@ def _flash_kernel(
     @pl.when(ki_major == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, _MASK_VALUE)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (BQ, D)
+    q = q_ref[0]  # (BQ, D) — pre-scaled by sm_scale * log2(e)
 
-    # Unrolled inner sweep over block_k chunks of the major K/V tile.
     for start in range(0, bk_major, bk):
         k = k_ref[0, start : start + bk, :]  # (BK, D)
-        s = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        )  # (BQ, BK)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK), log2-domain logits
 
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            + ki_major * bk_major
-            + start
-        )
-        s = jnp.where(col < kv_valid, s, _MASK_VALUE)
+        if need_mask:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + ki_major * bk_major
+                + start
+            )
+            s = jnp.where(col < kv_valid, s, _MASK_VALUE)
 
         m_prev = m_scr[:, :1]  # (BQ, 1)
-        l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
 
+        # PV on the MXU; v is ones-augmented so column ``head_dim`` of the
+        # accumulator is the softmax denominator l.
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, start : start + bk, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (BQ, AUG)
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki_major == nk_major - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        l = acc_scr[:, head_dim : head_dim + 1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:, :head_dim] * l_inv).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
@@ -119,20 +123,39 @@ def _flash_bhld(
     """q/k/v: (BH, L, D) -> (BH, Lq, D)."""
     bh, lq, d = q.shape
     lk = k.shape[1]
-    scale = 1.0 / math.sqrt(d)
+    if d > _AUG - 1:
+        raise ValueError(f"head_dim {d} too large for ones-augmented V ({_AUG})")
+
+    # Pre-scale q: softmax(s/sqrt(d)) == exp2(q' k^T - m) normalization
+    # with q' = q * log2(e)/sqrt(d).
+    q = (q.astype(jnp.float32) * (_LOG2E / math.sqrt(d))).astype(q.dtype)
+    # Ones-augmented V: [v | 1 | 0...] up to the 128-lane tile the layout
+    # pads to anyway.
+    v_aug = jnp.concatenate(
+        [
+            v,
+            jnp.ones((bh, lk, 1), v.dtype),
+            jnp.zeros((bh, lk, _AUG - d - 1), v.dtype),
+        ],
+        axis=-1,
+    )
 
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k_major)
-    vp = _pad_to(v, 1, block_k_major)
+    vp = _pad_to(v_aug, 1, block_k_major)
     lq_p, lk_p = qp.shape[1], kp.shape[1]
     nq, nk_major = lq_p // block_q, lk_p // block_k_major
+    # Padded keys produce exp2(MASK - m) == 0 only if masked; the ones
+    # column would otherwise count them in l, so mask whenever padded.
+    need_mask = lk_p != lk
 
     kernel = functools.partial(
         _flash_kernel,
         kv_valid=lk,
         bk_major=block_k_major,
         bk=block_k,
-        scale=scale,
+        need_mask=need_mask,
+        head_dim=d,
     )
     out = pl.pallas_call(
         kernel,
@@ -140,14 +163,13 @@ def _flash_bhld(
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k_major, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k_major, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k_major, _AUG), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq_p, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _AUG), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -155,7 +177,7 @@ def _flash_bhld(
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * lq_p * lk_p * d,
             bytes_accessed=(
-                bh * (lq_p + 2 * lk_p * (lq_p // block_q) + lq_p) * d * q.dtype.itemsize
+                bh * (lq_p + 2 * lk_p * nq + lq_p) * d * q.dtype.itemsize
             ),
             transcendentals=bh * lq_p * lk_p,
         ),

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vdpp_tpu.parallel.mesh import STAGE_AXIS
+from vdpp_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS
 from vdpp_tpu.parallel.step_assignment import assign_steps
 
 # step_fn(params, latent, step_idx) -> latent ; step_idx may be traced.
@@ -126,13 +126,27 @@ class StepPipeline:
         x = jax.lax.ppermute(x, STAGE_AXIS, perm)
         return x, emitted
 
+    @property
+    def data_parallel_size(self) -> int:
+        """Size of the optional ``data`` mesh axis (1 when absent).
+
+        On a 2-D (stage, data) mesh each data column runs an independent
+        pipeline over a disjoint shard of the sample stream — combined
+        PP x DP, a capability beyond the reference's 1-D designs.
+        """
+        return self.mesh.shape.get(DATA_AXIS, 1)
+
     def _build(self, num_samples: int) -> Callable:
-        """Fused mode: the whole fill/steady/drain schedule in ONE jit."""
+        """Fused mode: the whole fill/steady/drain schedule in ONE jit.
+
+        ``num_samples`` is the PER-DATA-COLUMN sample count.
+        """
         cfg = self.config
         S = cfg.num_stages
         N = num_samples
         num_ticks = cfg.num_ticks(N)
         mesh = self.mesh
+        has_data = DATA_AXIS in mesh.axis_names
 
         def per_stage(params, inputs, buf, out_buf):
             # Local views: buf (1, *L), out_buf (1, N, *L), inputs (N, *L).
@@ -159,7 +173,38 @@ class StepPipeline:
             )
             return out[None]
 
+        dp = self.data_parallel_size
         pspec_rep = P()  # fully replicated
+        if has_data:
+            # Leading axes: (stage, data-column). Each (s, d) device holds
+            # its own latent slot / output buffer / sample shard.
+            buf_spec = P(STAGE_AXIS, DATA_AXIS)
+            inputs_spec = P(DATA_AXIS)
+
+            def per_stage_2d(params, inputs, buf, out_buf):
+                # strip the (1, 1) leading mesh dims for the 1-D body
+                out = per_stage(params, inputs, buf[0], out_buf[0])
+                return out[None]
+
+            sharded = jax.shard_map(
+                per_stage_2d,
+                mesh=mesh,
+                in_specs=(pspec_rep, inputs_spec, buf_spec, buf_spec),
+                out_specs=buf_spec,
+                check_vma=False,
+            )
+
+            def run(params, inputs):
+                latent_shape = inputs.shape[1:]
+                dtype = inputs.dtype
+                buf = jnp.zeros((S, dp, *latent_shape), dtype)
+                out_buf = jnp.zeros((S, dp, N, *latent_shape), dtype)
+                out = sharded(params, inputs, buf, out_buf)
+                # (dp, N, *L) -> (dp*N, *L), matching the input shard order.
+                return out[S - 1].reshape(dp * N, *latent_shape)
+
+            return jax.jit(run)
+
         buf_spec = P(STAGE_AXIS)
         sharded = jax.shard_map(
             per_stage,
@@ -206,12 +251,21 @@ class StepPipeline:
     def run(self, params, inputs: jax.Array) -> jax.Array:
         """Pipeline ``inputs (N, *latent)`` through all ``total_steps``.
 
-        Returns finished latents ``(N, *latent)`` (replicated output of the
-        last stage). Compiled once per (N, latent-shape, dtype).
+        On a 2-D (stage, data) mesh, N must be divisible by the data-axis
+        size; each data column pipelines its own N/dp sample shard.
+        Returns finished latents ``(N, *latent)``. Compiled once per
+        (N, latent-shape, dtype).
         """
-        key = (int(inputs.shape[0]), inputs.shape[1:], str(inputs.dtype))
+        n_total = int(inputs.shape[0])
+        dp = self.data_parallel_size
+        if n_total % dp != 0:
+            raise ValueError(
+                f"num_samples {n_total} must be divisible by data-axis size {dp}"
+            )
+        n_local = n_total // dp
+        key = (n_local, inputs.shape[1:], str(inputs.dtype))
         if key not in self._jitted:
-            self._jitted[key] = self._build(int(inputs.shape[0]))
+            self._jitted[key] = self._build(n_local)
         return self._jitted[key](params, inputs)
 
     def run_ticked(self, params, inputs: jax.Array):
