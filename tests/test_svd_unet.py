@@ -202,3 +202,45 @@ def test_svd_pipeline_stage_invariance(wrapper_and_cond):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+
+def test_temporal_tblock_matches_transpose_formulation():
+    """The layout-preserving temporal block must equal the original
+    (B*L, F, C)-transposed formulation elementwise."""
+    from vdpp_tpu.models.svd_unet import (
+        _Keys,
+        _init_temporal_tblock,
+        _temporal_tblock,
+    )
+    from vdpp_tpu.ops.attention import attention
+    from vdpp_tpu.ops.linear import geglu_ff
+    from vdpp_tpu.ops.normalization import layer_norm
+
+    cfg = SVDUNetConfig.tiny()
+    kg = _Keys(jax.random.key(0))
+    dim, heads, batch, frames, l = 32, 2, 2, 3, 10
+    p = _init_temporal_tblock(kg, cfg, dim)
+    # widen cross weights to a chosen context dim for this test
+    x = jax.random.normal(jax.random.key(1), (batch * frames, l, dim))
+    ctx_b = jax.random.normal(jax.random.key(2), (batch, 1, cfg.cross_attention_dim))
+
+    got = _temporal_tblock(p, x, ctx_b, heads, batch, frames)
+
+    # original formulation: transpose to (B*L, F, C), run plain blocks
+    h = x.reshape(batch, frames, l, dim).transpose(0, 2, 1, 3).reshape(
+        batch * l, frames, dim
+    )
+    time_ctx = jnp.broadcast_to(
+        ctx_b[:, None], (batch, l, 1, cfg.cross_attention_dim)
+    ).reshape(batch * l, 1, cfg.cross_attention_dim)
+    residual = h
+    h = geglu_ff(layer_norm(h, p["norm_in"]), p["ff_in"]) + residual
+    h = h + attention(layer_norm(h, p["norm1"]), p["attn1"], heads)
+    h = h + attention(layer_norm(h, p["norm2"]), p["attn2"], heads, context=time_ctx)
+    h = h + geglu_ff(layer_norm(h, p["norm3"]), p["ff"])
+    expected = h.reshape(batch, l, frames, dim).transpose(0, 2, 1, 3).reshape(
+        batch * frames, l, dim
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )

@@ -239,26 +239,61 @@ def _init_temporal_tblock(kg: _Keys, cfg: SVDUNetConfig, dim: int) -> dict:
     }
 
 
+def _temporal_self_attention(
+    p: dict, x: jax.Array, heads: int, batch: int, frames: int
+) -> jax.Array:
+    """Self-attention over the FRAME axis without materializing the
+    (B*L, F, C) transpose: qkv are projected in the resident (B*F, L, C)
+    layout and the frame contraction happens inside batched dot_generals
+    (XLA fuses the layout change into the matmul). The physical transpose
+    of the level-0 activation (~82 MB) four times per block was a
+    measured HBM-bandwidth sink.
+    """
+    bf, l, c = x.shape
+    d = c // heads
+    q = linear(x, p["to_q"]).reshape(batch, frames, l, heads, d)
+    k = linear(x, p["to_k"]).reshape(batch, frames, l, heads, d)
+    v = linear(x, p["to_v"]).reshape(batch, frames, l, heads, d)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum(
+        "bflhd,bglhd->blhfg", q, k, preferred_element_type=jnp.float32
+    ) * scale  # (B, L, H, F, F)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "blhfg,bglhd->bflhd", w, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return linear(out.reshape(bf, l, c), p["to_out"])
+
+
 def _temporal_tblock(
     p: dict,
     h: jax.Array,
-    time_ctx: jax.Array,
+    time_ctx_b: jax.Array,
     heads: int,
     batch: int,
     frames: int,
 ) -> jax.Array:
-    """Temporal transformer block: tokens are frames, sequence length F.
+    """Temporal transformer block: attention tokens are frames.
 
-    h: (B*F, L, C) -> reshaped to (B*L, F, C); time_ctx: (B*L, 1, cross_dim).
+    h: (B*F, L, C) — kept in this layout throughout; norms/FFs are
+    positionwise (they commute with the frame/location transpose the
+    torch original performs), self-attention contracts the frame axis in
+    place, and the single-key cross-attention is a broadcast.
+    time_ctx_b: (B, 1, cross_dim).
     """
     bf, l, c = h.shape
-    h = h.reshape(batch, frames, l, c).transpose(0, 2, 1, 3).reshape(batch * l, frames, c)
     residual = h
     h = geglu_ff(layer_norm(h, p["norm_in"]), p["ff_in"]) + residual
-    h = h + attention(layer_norm(h, p["norm1"]), p["attn1"], heads)
-    h = h + attention(layer_norm(h, p["norm2"]), p["attn2"], heads, context=time_ctx)
+    h = h + _temporal_self_attention(p["attn1"], layer_norm(h, p["norm1"]),
+                                     heads, batch, frames)
+    # Single-key cross-attention == broadcast of to_out(to_v(ctx)) plus
+    # residual (softmax over one key is 1, and the output is independent
+    # of the queries — norm2 is mathematically dead here; its parameters
+    # are kept for checkpoint compatibility).
+    v = linear(time_ctx_b, p["attn2"]["to_v"])  # (B, 1, C)
+    cross = linear(v, p["attn2"]["to_out"])
+    h = h + jnp.repeat(cross, frames, axis=0)  # (B*F, 1, C) broadcast over L
     h = h + geglu_ff(layer_norm(h, p["norm3"]), p["ff"])
-    h = h.reshape(batch, l, frames, c).transpose(0, 2, 1, 3).reshape(bf, l, c)
     return h
 
 
@@ -297,11 +332,9 @@ def _st_transformer(
     f_emb = timestep_mlp(f_emb, p["time_pos_embed"])[:, None, :]  # (BF, 1, C)
 
     # Temporal cross-attention context: first-frame CLIP embedding per
-    # batch element, shared by every spatial location.
-    ctx_first = ctx.reshape(batch, frames, *ctx.shape[1:])[:, 0]  # (B, 1, D)
-    time_ctx = jnp.broadcast_to(
-        ctx_first[:, None], (batch, hh * ww, ctx_first.shape[1], ctx_first.shape[2])
-    ).reshape(batch * hh * ww, ctx_first.shape[1], ctx_first.shape[2])
+    # batch element, shared by every spatial location (passed per batch;
+    # the single-key attention broadcast happens inside the block).
+    time_ctx = ctx.reshape(batch, frames, *ctx.shape[1:])[:, 0]  # (B, 1, D)
 
     import os as _os
 

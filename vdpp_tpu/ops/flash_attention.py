@@ -186,10 +186,15 @@ def _flash_bhld(
     return out[:, :lq, :]
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _pick_blocks(lq: int, lk: int, block_q: int, block_k_major: int, block_k: int):
-    """Clamp requested blocks to the (padded) sequence lengths."""
-    bq = min(block_q, max(128, 1 << (lq - 1).bit_length()))
-    bkm = min(block_k_major, max(128, 1 << (lk - 1).bit_length()))
+    """Clamp requested blocks to the 128-rounded sequence lengths (avoids
+    gross padding when a block exceeds the sequence)."""
+    bq = min(block_q, _round_up(lq, 128))
+    bkm = min(block_k_major, _round_up(lk, 128))
     bk = min(block_k, bkm)
     if bkm % bk != 0:
         bk = bkm
@@ -202,7 +207,7 @@ def flash_attention(
     v: jax.Array,
     block_q: int = 512,
     block_k_major: int = 1536,
-    block_k: int = 512,
+    block_k: int = 1536,
 ) -> jax.Array:
     """Flash attention over (B, L, H, D) tensors (non-causal, no mask).
 
