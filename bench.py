@@ -109,6 +109,13 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
         log(f"video {i}: {times[-1]:.2f}s")
 
+    try:
+        from vdpp_tpu.utils.memory import peak_memory_gb_per_device
+
+        log(f"peak HBM (GB): {peak_memory_gb_per_device()[0]:.2f}")
+    except Exception:
+        pass
+
     sec_per_video = sum(times) / len(times)
     result = {
         "metric": (
