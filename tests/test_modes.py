@@ -1,0 +1,92 @@
+"""CLI smoke tests: every mode entry point runs end-to-end in a
+subprocess on the virtual CPU mesh and honors its output contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=300):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, *args], capture_output=True, text=True,
+        timeout=timeout, cwd=REPO, env=env,
+    )
+
+
+def extract_benchmark_json(stdout: str) -> dict:
+    lines = [l for l in stdout.splitlines() if l.startswith("BENCHMARK_JSON=")]
+    assert lines, f"no BENCHMARK_JSON line in output:\n{stdout[-2000:]}"
+    return json.loads(lines[-1][len("BENCHMARK_JSON="):])
+
+
+def test_simulator_mode():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.simulator", "--num-stages", "4",
+        "--total-steps", "8", "--backend", "cpu",
+        "--latent-shape", "1", "8", "2", "8", "8",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "stage-count invariance verified" in r.stderr + r.stdout
+
+
+def test_benchmark_mode_contract():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "dummy", "--num-stages", "2", "--total-steps", "4",
+        "--num-samples", "2", "--warmup-samples", "0",
+        "--latent-shape", "1", "8", "2", "8", "8",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = extract_benchmark_json(r.stdout)
+    # the reference's metric-contract keys
+    for key in (
+        "world_size", "total_steps", "steps_per_gpu", "model",
+        "first_sample_time_s", "avg_sample_time_s",
+        "throughput_samples_per_s", "per_sample_times_ms",
+        "peak_memory_gb_per_rank", "max_peak_memory_gb",
+    ):
+        assert key in data, key
+    assert data["world_size"] == 2
+    assert data["steps_per_gpu"] == 2
+    assert data["mode"] == "pipeline"
+
+
+def test_benchmark_data_parallel_contract():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark_data_parallel", "--backend", "cpu",
+        "--model", "dummy", "--num-devices", "2", "--total-steps", "4",
+        "--num-samples", "4",
+        "--latent-shape", "1", "8", "2", "8", "8",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = extract_benchmark_json(r.stdout)
+    assert data["mode"] == "data_parallel"
+    assert data["steps_per_gpu"] == 4  # all steps on every device
+
+
+def test_production_mode_tiny():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
+        "--num-stages", "2", "--total-steps", "4", "--num-samples", "1",
+        "--latent-shape", "1", "4", "2", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final latent norm" in r.stderr + r.stdout
+
+
+def test_benchmark_rejects_bad_split():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "dummy", "--num-stages", "3", "--total-steps", "4",
+        "--num-samples", "1",
+    ])
+    assert r.returncode != 0
+    assert "divisible" in (r.stderr + r.stdout)

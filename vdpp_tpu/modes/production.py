@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--ticked", action="store_true",
                    help="host-stepped schedule with per-tick timing")
+    p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -47,6 +48,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from vdpp_tpu.models.svd_unet import SVDUNetConfig
