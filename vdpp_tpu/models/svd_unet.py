@@ -32,7 +32,7 @@ converter (vdpp_tpu.utils.weights) is a mechanical name mapping.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

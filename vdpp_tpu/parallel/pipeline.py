@@ -32,12 +32,11 @@ instead of from wall-clock arithmetic.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vdpp_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS
 from vdpp_tpu.parallel.step_assignment import assign_steps
