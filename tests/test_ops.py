@@ -215,3 +215,15 @@ def test_sinusoidal_embedding_matches_manual():
     expected = np.concatenate([np.cos(args), np.sin(args)])
     got = sinusoidal_embedding(jnp.array([t]), dim)[0]
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+def test_flash_attention_large_head_dim():
+    # VAE mid-block style: single head, head_dim > 128.
+    rng = np.random.default_rng(10)
+    b, l, h, d = 1, 512, 1, 256
+    q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    got = flash_attention(q, k, v, block_q=128, block_k_major=256, block_k=128)
+    ref = _sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

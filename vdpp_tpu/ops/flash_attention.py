@@ -42,9 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2E = math.log2(math.e)
-# lane width of the augmented V/accumulator (head_dim + 1 ones column,
-# padded to the hardware lane count)
-_AUG = 128
+
+
+def _aug_width(d: int) -> int:
+    """Lane width of the ones-augmented V / accumulator: head_dim + 1
+    rounded up to the 128-lane tile (a single extra lane register when
+    head_dim is itself a multiple of 128)."""
+    return ((d + 1 + 127) // 128) * 128
 
 
 def _flash_kernel(
@@ -123,8 +127,7 @@ def _flash_bhld(
     """q/k/v: (BH, L, D) -> (BH, Lq, D)."""
     bh, lq, d = q.shape
     lk = k.shape[1]
-    if d > _AUG - 1:
-        raise ValueError(f"head_dim {d} too large for ones-augmented V ({_AUG})")
+    aug = _aug_width(d)
 
     # Pre-scale q: softmax(s/sqrt(d)) == exp2(q' k^T - m) normalization
     # with q' = q * log2(e)/sqrt(d).
@@ -135,7 +138,7 @@ def _flash_bhld(
         [
             v,
             jnp.ones((bh, lk, 1), v.dtype),
-            jnp.zeros((bh, lk, _AUG - d - 1), v.dtype),
+            jnp.zeros((bh, lk, aug - d - 1), v.dtype),
         ],
         axis=-1,
     )
@@ -163,13 +166,13 @@ def _flash_bhld(
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k_major, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k_major, _AUG), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k_major, aug), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq_p, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, _AUG), jnp.float32),
+            pltpu.VMEM((block_q, aug), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
