@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from vdpp_tpu.diffusion.scheduler import EulerKarrasSchedule, euler_step_v_prediction
-from vdpp_tpu.ops.attention import attention, init_attention
+from vdpp_tpu.ops.attention import attention, init_attention, temporal_self_attention
 from vdpp_tpu.ops.embeddings import init_timestep_mlp, sinusoidal_embedding, timestep_mlp
 from vdpp_tpu.ops.linear import init_linear, linear
 from vdpp_tpu.ops.normalization import init_layer_norm, layer_norm
@@ -116,6 +116,28 @@ def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
     return x
 
 
+def _temporal_block(p: dict, x: jax.Array, c_emb: jax.Array, heads: int,
+                    batch: int, frames: int) -> jax.Array:
+    """Temporal DiT block in the resident (B*F, N, D) layout.
+
+    Equivalent to transposing to (B*N, F, D) and running ``_block`` (the
+    adaLN modulation is per batch element, so it commutes with the
+    location/frame transpose); frame mixing happens inside
+    ``temporal_self_attention`` without the physical transpose.
+    """
+    ada = linear(jax.nn.silu(c_emb.astype(jnp.float32)).astype(c_emb.dtype), p["ada"])
+    sh1, sc1, g1, sh2, sc2, g2 = (
+        jnp.repeat(t, frames, axis=0) for t in jnp.split(ada, 6, axis=-1)
+    )  # (B, D) -> (B*F, D)
+    h = _modulate(layer_norm(x, p["norm1"]), sh1, sc1)
+    x = x + g1[:, None, :] * temporal_self_attention(p["attn"], h, heads, batch, frames)
+    h = _modulate(layer_norm(x, p["norm2"]), sh2, sc2)
+    h = linear(h, p["mlp_in"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+    x = x + g2[:, None, :] * linear(h, p["mlp_out"])
+    return x
+
+
 class DiTVideo:
     """init/apply for the factorized video DiT."""
 
@@ -176,7 +198,6 @@ class DiTVideo:
         t_emb = sinusoidal_embedding(t, 256).astype(cfg.dtype)
         c_emb = timestep_mlp(t_emb, params["t_embed"])  # (B, D)
         c_f = jnp.repeat(c_emb, f, axis=0)              # (B*F, D)
-        c_n = jnp.repeat(c_emb, n, axis=0)              # (B*N, D)
 
         ctx_f = None
         if context is not None:
@@ -185,16 +206,17 @@ class DiTVideo:
         first_temporal = True
         for i, blk in enumerate(params["blocks"]):
             if i % 2 == 0:
-                # spatial: (B*F, N, D)
+                # spatial: tokens within a frame
                 x = _block(blk, x, c_f, ctx_f, cfg.num_heads)
             else:
-                # temporal: (B*N, F, D)
-                x = x.reshape(b, f, n, d).transpose(0, 2, 1, 3).reshape(b * n, f, d)
+                # temporal: frame mixing in the resident layout (no
+                # physical (B*N, F, D) transpose — see _temporal_block)
                 if first_temporal:
-                    x = x + pos_t[None].astype(x.dtype)
+                    x = (
+                        x.reshape(b, f, n, d) + pos_t[None, :, None, :].astype(x.dtype)
+                    ).reshape(b * f, n, d)
                     first_temporal = False
-                x = _block(blk, x, c_n, None, cfg.num_heads)
-                x = x.reshape(b, n, f, d).transpose(0, 2, 1, 3).reshape(b * f, n, d)
+                x = _temporal_block(blk, x, c_emb, cfg.num_heads, b, f)
 
         ada = linear(
             jax.nn.silu(c_f.astype(jnp.float32)).astype(c_f.dtype), params["final_ada"]

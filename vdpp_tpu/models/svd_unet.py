@@ -37,7 +37,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from vdpp_tpu.ops.attention import attention, init_attention
+from vdpp_tpu.ops.attention import attention, init_attention, temporal_self_attention
 from vdpp_tpu.ops.conv import (
     conv2d,
     conv_temporal,
@@ -239,32 +239,6 @@ def _init_temporal_tblock(kg: _Keys, cfg: SVDUNetConfig, dim: int) -> dict:
     }
 
 
-def _temporal_self_attention(
-    p: dict, x: jax.Array, heads: int, batch: int, frames: int
-) -> jax.Array:
-    """Self-attention over the FRAME axis without materializing the
-    (B*L, F, C) transpose: qkv are projected in the resident (B*F, L, C)
-    layout and the frame contraction happens inside batched dot_generals
-    (XLA fuses the layout change into the matmul). The physical transpose
-    of the level-0 activation (~82 MB) four times per block was a
-    measured HBM-bandwidth sink.
-    """
-    bf, l, c = x.shape
-    d = c // heads
-    q = linear(x, p["to_q"]).reshape(batch, frames, l, heads, d)
-    k = linear(x, p["to_k"]).reshape(batch, frames, l, heads, d)
-    v = linear(x, p["to_v"]).reshape(batch, frames, l, heads, d)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    logits = jnp.einsum(
-        "bflhd,bglhd->blhfg", q, k, preferred_element_type=jnp.float32
-    ) * scale  # (B, L, H, F, F)
-    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum(
-        "blhfg,bglhd->bflhd", w, v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
-    return linear(out.reshape(bf, l, c), p["to_out"])
-
-
 def _temporal_tblock(
     p: dict,
     h: jax.Array,
@@ -284,8 +258,8 @@ def _temporal_tblock(
     bf, l, c = h.shape
     residual = h
     h = geglu_ff(layer_norm(h, p["norm_in"]), p["ff_in"]) + residual
-    h = h + _temporal_self_attention(p["attn1"], layer_norm(h, p["norm1"]),
-                                     heads, batch, frames)
+    h = h + temporal_self_attention(p["attn1"], layer_norm(h, p["norm1"]),
+                                    heads, batch, frames)
     # Single-key cross-attention == broadcast of to_out(to_v(ctx)) plus
     # residual (softmax over one key is 1, and the output is independent
     # of the queries — norm2 is mathematically dead here; its parameters

@@ -72,6 +72,35 @@ def _sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     ).astype(q.dtype)
 
 
+def temporal_self_attention(
+    params: dict,
+    x: jax.Array,
+    heads: int,
+    batch: int,
+    frames: int,
+) -> jax.Array:
+    """Self-attention over the FRAME axis of (B*F, L, C) WITHOUT
+    materializing the (B*L, F, C) transpose: qkv are projected in the
+    resident layout and the frame contraction happens inside batched
+    dot_generals (XLA fuses the layout change into the matmul). The
+    physical transpose of video-scale activations is a measured
+    HBM-bandwidth sink (docs/performance.md)."""
+    bf, l, c = x.shape
+    d = c // heads
+    q = linear(x, params["to_q"]).reshape(batch, frames, l, heads, d)
+    k = linear(x, params["to_k"]).reshape(batch, frames, l, heads, d)
+    v = linear(x, params["to_v"]).reshape(batch, frames, l, heads, d)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum(
+        "bflhd,bglhd->blhfg", q, k, preferred_element_type=jnp.float32
+    ) * scale  # (B, L, H, F, F)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "blhfg,bglhd->bflhd", w, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return linear(out.reshape(bf, l, c), params["to_out"])
+
+
 def attention(
     x: jax.Array,
     params: dict,
