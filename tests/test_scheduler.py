@@ -134,3 +134,36 @@ def test_final_sigma_zero_gives_x0():
     denom = s * s + 1.0
     x0 = 0.3 * (-s / math.sqrt(denom)) + 1.0 / denom
     np.testing.assert_allclose(np.asarray(got), [x0], rtol=1e-4)
+
+
+def test_padded_schedule_identity_steps():
+    """Padding to a stage multiple prepends exact-identity Euler steps."""
+    import jax
+
+    base = EulerKarrasSchedule.create(6)
+    padded = EulerKarrasSchedule.create(6, pad_to_multiple_of=4)  # 6 -> 8
+    assert padded.num_steps == 8
+    assert padded.sigmas[0] == padded.sigmas[1] == padded.sigmas[2]
+    np.testing.assert_array_equal(padded.sigmas[2:], base.sigmas)
+    assert padded.init_noise_sigma == base.init_noise_sigma
+
+    # dt == 0 steps are the identity regardless of the noise prediction.
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3)), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).standard_normal((2, 3)), jnp.float32)
+    out = padded.step(x, eps, 0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    # Full padded schedule == full base schedule on the same eps sequence.
+    def run(s, n):
+        y = x
+        for i in range(n):
+            y = s.step(y, eps, i)
+        return np.asarray(y)
+
+    np.testing.assert_allclose(run(padded, 8), run(base, 6), rtol=1e-6)
+
+
+def test_padded_schedule_noop_when_divisible():
+    base = EulerKarrasSchedule.create(8)
+    padded = EulerKarrasSchedule.create(8, pad_to_multiple_of=4)
+    np.testing.assert_array_equal(padded.sigmas, base.sigmas)

@@ -127,8 +127,25 @@ class EulerKarrasSchedule:
         sigma_min: float = 0.002,
         sigma_max: float = 700.0,
         rho: float = 7.0,
+        pad_to_multiple_of: int | None = None,
     ) -> "EulerKarrasSchedule":
+        """Build the schedule; optionally pad to a stage-count multiple.
+
+        The reference hard-fails when total_steps is not divisible by the
+        stage count (reference: src/pipeline/step_assignment.py:60-63).
+        The SPMD pipeline needs uniform per-stage work, so instead of
+        rejecting e.g. 30 steps on 8 chips, ``pad_to_multiple_of=8``
+        prepends duplicate leading sigmas: a step with sigma_next == sigma
+        has dt == 0, making the Euler update an EXACT identity — the
+        padded schedule produces bit-identical output to the unpadded one
+        at the cost of (pad/total) wasted UNet evaluations.
+        """
         sig = karras_sigmas(num_steps, sigma_min, sigma_max, rho)
+        if pad_to_multiple_of:
+            pad = (-num_steps) % pad_to_multiple_of
+            if pad:
+                sig = np.concatenate([np.full(pad, sig[0], np.float32), sig])
+                num_steps += pad
         ts = continuous_timesteps(sig)
         return cls(
             sigmas=sig,

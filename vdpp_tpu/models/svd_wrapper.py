@@ -150,13 +150,23 @@ class StableVideoUNet:
         sigma_min: float = 0.002,
         sigma_max: float = 700.0,
         cfg_mode: str = "sequential",
+        pad_steps_to: int | None = None,
     ):
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
         self.config = config or SVDUNetConfig.svd_xt()
         self.unet = SVDUNet(self.config)
-        self.schedule = EulerKarrasSchedule.create(num_steps, sigma_min, sigma_max)
+        # pad_steps_to: run a non-divisible schedule on S stages by
+        # prepending exact-identity steps (see EulerKarrasSchedule.create).
+        self.schedule = EulerKarrasSchedule.create(
+            num_steps, sigma_min, sigma_max, pad_to_multiple_of=pad_steps_to
+        )
         self.cfg_mode = cfg_mode
+
+    @property
+    def num_steps(self) -> int:
+        """Total schedule length including any identity padding."""
+        return self.schedule.num_steps
 
     @property
     def init_noise_sigma(self) -> float:

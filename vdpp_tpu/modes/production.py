@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--ticked", action="store_true",
                    help="host-stepped schedule with per-tick timing")
+    p.add_argument("--pad-schedule", action="store_true",
+                   help="allow total-steps not divisible by the stage count "
+                        "by prepending exact-identity steps")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--log-level", default="INFO")
     return p
@@ -73,8 +76,14 @@ def main(argv=None) -> int:
     )
 
     model = StableVideoUNet(
-        config, num_steps=args.total_steps, cfg_mode=args.cfg_mode
+        config, num_steps=args.total_steps, cfg_mode=args.cfg_mode,
+        pad_steps_to=stages if args.pad_schedule else None,
     )
+    if model.num_steps != args.total_steps:
+        LOGGER.info(
+            "schedule padded %d -> %d steps (exact identity steps) for %d stages",
+            args.total_steps, model.num_steps, stages,
+        )
     t0 = time.perf_counter()
     if args.checkpoint:
         from vdpp_tpu.utils.weights import load_params
@@ -105,7 +114,7 @@ def main(argv=None) -> int:
         * model.init_noise_sigma
     )
 
-    pipe = StepPipeline(mesh, step_fn, PipelineConfig(args.total_steps, stages))
+    pipe = StepPipeline(mesh, step_fn, PipelineConfig(model.num_steps, stages))
 
     t0 = time.perf_counter()
     if args.ticked:
