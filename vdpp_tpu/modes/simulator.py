@@ -93,7 +93,12 @@ def main(argv=None) -> int:
         use_layernorm=not args.no_layernorm,
     )
     params = model.init(jax.random.key(args.seed))
-    step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
+    total = args.total_steps
+
+    # The reference simulator feeds DESCENDING timesteps [T-1 .. 0] to the
+    # model (reference: src/modes/simulator.py:77-79); map the pipeline's
+    # ascending step index accordingly.
+    step_fn = lambda p, x, s: model.apply(p, x, total - 1 - s)  # noqa: E731
 
     # DummyUNet keeps the reference's (B, C, F, H, W) layout.
     inputs = jax.random.normal(
