@@ -186,6 +186,10 @@ def main(argv=None) -> int:
         ((image + 1.0) * 127.5).astype(np.uint8), size=clip_cfg.image_size
     )
     clip_embeds = clip_enc.apply(clip_params, jnp.asarray(clip_px)[None])  # (1, D)
+    # Free the CLIP tower immediately (the reference frees CLIP on every
+    # rank after encoding, reference: generate_video_demo.py:302-307).
+    jax.block_until_ready(clip_embeds)
+    del clip_params
 
     # VAE encode with pixel-space noise augmentation; .mode(), no scaling
     # factor (reference :128-146).
@@ -196,6 +200,8 @@ def main(argv=None) -> int:
     moments = vae_enc.apply(vae_enc_params, jnp.asarray(image)[None] + noise_aug)
     image_latent = vae_enc.mode(moments)  # (1, h, w, 4)
     image_latents = jnp.repeat(image_latent[:, None], args.num_frames, axis=1)
+    jax.block_until_ready(image_latents)
+    del vae_enc_params  # encoder no longer needed
 
     cond = make_conditioning(
         image_embeddings=clip_embeds,
@@ -225,6 +231,14 @@ def main(argv=None) -> int:
     )
     latents = jax.block_until_ready(pipe.run((unet_params, cond), noise))
     t_diffusion = time.perf_counter() - t0
+    # Free the UNet before decode — the reference's two-phase design
+    # exists for exactly this OOM (reference: generate_video_demo.py:
+    # 409-411 'del model' before phase 2); here it is just dropping the
+    # parameter references so XLA reclaims the HBM.
+    del unet_params
+    import gc
+
+    gc.collect()
     LOGGER.info("diffusion: %.1fs (%d samples, bubble %.1f%%)",
                 t_diffusion, args.num_samples,
                 100 * pipe.config.bubble_fraction(args.num_samples))
