@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--decode-chunk-frames", type=int, default=4)
+    p.add_argument("--vae-dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="decoder compute dtype (bfloat16 halves decode memory)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--log-level", default="INFO")
@@ -130,9 +132,12 @@ def main(argv=None) -> int:
         LOGGER.error("provide --checkpoint or --random-weights")
         return 1
 
+    import jax.numpy as _jnp
+
+    vae_dtype = _jnp.bfloat16 if args.vae_dtype == "bfloat16" else _jnp.float32
     tiny = args.preset == "tiny"
     unet_cfg = SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
-    vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.svd()
+    vae_cfg = VAEConfig.tiny(vae_dtype) if tiny else VAEConfig.svd(vae_dtype)
     clip_cfg = CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h_14()
     if tiny:
         import dataclasses
