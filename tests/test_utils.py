@@ -1,0 +1,72 @@
+"""Utils tests: metric contract, timers, video io naming."""
+
+import json
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from vdpp_tpu.utils.bench_json import benchmark_results_dict, emit_benchmark_json
+from vdpp_tpu.utils.profiling import phase_timer
+from vdpp_tpu.utils.video_io import build_output_name, frames_to_uint8
+
+
+def _mk_results(**over):
+    base = dict(
+        world_size=4, total_steps=28, steps_per_device=7, model="dummy",
+        mode="pipeline", num_samples_measured=8, warmup_samples=1,
+        latent_shape=[1, 8, 4, 16, 16], first_sample_time_s=1.0,
+        avg_sample_time_s=0.25, throughput_samples_per_s=4.0,
+        per_sample_times_ms=[1000.0, 250.0], peak_memory_gb_per_device=[1.5, 1.6],
+    )
+    base.update(over)
+    return benchmark_results_dict(**base)
+
+
+def test_benchmark_results_schema_parity():
+    r = _mk_results()
+    # keys the reference's parsers rely on
+    for key in (
+        "world_size", "total_steps", "steps_per_gpu", "model", "fsdp",
+        "num_samples_measured", "warmup_samples", "latent_shape",
+        "first_sample_time_s", "avg_sample_time_s",
+        "throughput_samples_per_s", "per_sample_times_ms",
+        "peak_memory_gb_per_rank", "max_peak_memory_gb",
+    ):
+        assert key in r
+    assert r["max_peak_memory_gb"] == 1.6
+    assert r["fsdp"] is False
+    assert _mk_results(mode="fsdp")["fsdp"] is True
+
+
+def test_emit_benchmark_json_stdout_line(capsys):
+    emit_benchmark_json(_mk_results())
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("BENCHMARK_JSON=")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0][len("BENCHMARK_JSON="):])
+    assert parsed["world_size"] == 4
+
+
+def test_phase_timer_fences(caplog):
+    x = jnp.ones((8, 8)) * 2
+    with caplog.at_level(logging.INFO):
+        with phase_timer("test-phase", x) as rec:
+            y = x @ x
+    assert rec["seconds"] >= 0
+    assert any("test-phase" in m for m in caplog.messages)
+
+
+def test_frames_to_uint8_range():
+    v = np.array([[[[-1.0, 0.0, 1.0]]], [[[2.0, -2.0, 0.5]]]], np.float32)
+    out = frames_to_uint8(v)
+    assert out.dtype == np.uint8
+    assert out[0, 0, 0, 0] == 0 and out[0, 0, 0, 2] == 255
+    assert out[1, 0, 0, 0] == 255 and out[1, 0, 0, 1] == 0  # clipped
+
+
+def test_build_output_name_selfdescribing():
+    name = build_output_name("svd", num_frames=14, steps=25, stages=8, fps=7,
+                             seed=42, ext="mp4")
+    for token in ("svd", "f14", "s25", "st8", "fps7", "seed42", ".mp4"):
+        assert token in name
