@@ -58,10 +58,14 @@ def main():
     for variant in args.variants.split(","):
         # variant grammar: attn=<impl>[+notemporal] or legacy full_<impl>
         os.environ.pop("VDPP_ABLATE_TEMPORAL", None)
+        os.environ.pop("VDPP_ABLATE_TEMPORAL_ATTN", None)
         v = variant
         if v.endswith("+notemporal"):
             os.environ["VDPP_ABLATE_TEMPORAL"] = "1"
             v = v[: -len("+notemporal")]
+        if v.endswith("+noteattn"):
+            os.environ["VDPP_ABLATE_TEMPORAL_ATTN"] = "1"
+            v = v[: -len("+noteattn")]
         impl = v.split("_", 1)[1] if "_" in v else v
         os.environ["VDPP_ATTN_IMPL"] = impl
 

@@ -90,14 +90,34 @@ def temporal_self_attention(
     q = linear(x, params["to_q"]).reshape(batch, frames, l, heads, d)
     k = linear(x, params["to_k"]).reshape(batch, frames, l, heads, d)
     v = linear(x, params["to_v"]).reshape(batch, frames, l, heads, d)
+    if os.environ.get("VDPP_ABLATE_TEMPORAL_ATTN") == "1":  # profiling only
+        return linear(v.reshape(bf, l, c), params["to_out"])
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    logits = jnp.einsum(
-        "bflhd,bglhd->blhfg", q, k, preferred_element_type=jnp.float32
-    ) * scale  # (B, L, H, F, F)
-    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum(
-        "blhfg,bglhd->bflhd", w, v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    impl = os.environ.get("VDPP_TEMPORAL_ATTN", "vpu")
+    if impl == "einsum":
+        # Batched-matmul form: contraction d with batch (b, l, h). The
+        # per-element matmuls are (F, d)x(d, F) — tiny M/N with a huge
+        # batch count, a poor MXU shape.
+        logits = jnp.einsum(
+            "bflhd,bglhd->blhfg", q, k, preferred_element_type=jnp.float32
+        ) * scale  # (B, L, H, F, F)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum(
+            "blhfg,bglhd->bflhd", w, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    else:
+        # Broadcast-multiply-reduce form: the same contraction expressed
+        # as elementwise VPU work (total b*l*h*F^2*d MACs ~ 0.6 G at the
+        # SVD level-0 shape — trivially small when fused; frames F are
+        # tiny so the F^2 blowup is cheap).
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        logits = jnp.sum(qf[:, :, None] * kf[:, None, :], axis=-1) * scale
+        # (B, F, G, L, H); softmax over the key-frame axis G
+        w = jax.nn.softmax(logits, axis=2)
+        out = jnp.sum(
+            w[..., None] * v.astype(jnp.float32)[:, None], axis=2
+        ).astype(x.dtype)  # (B, F, L, H, D)
     return linear(out.reshape(bf, l, c), params["to_out"])
 
 
