@@ -227,3 +227,18 @@ def test_flash_attention_large_head_dim():
     got = flash_attention(q, k, v, block_q=128, block_k_major=256, block_k=128)
     ref = _sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_frame_attention_kernel_matches_einsum():
+    from vdpp_tpu.ops.temporal_attention_kernel import frame_attention
+
+    rng = np.random.default_rng(11)
+    b, f, l, h, d = 2, 5, 48, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, f, l, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, f, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, f, l, h, d)), jnp.float32)
+    got = frame_attention(q, k, v, tile_l=32)  # forces L padding too
+    logits = jnp.einsum("bflhd,bglhd->blhfg", q, k) / np.sqrt(d)
+    w = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("blhfg,bglhd->bflhd", w, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -94,6 +94,16 @@ def temporal_self_attention(
         return linear(v.reshape(bf, l, c), params["to_out"])
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     impl = os.environ.get("VDPP_TEMPORAL_ATTN", "vpu")
+    if impl == "pallas":
+        # Fused VMEM kernel (ops/temporal_attention_kernel.py). Measured
+        # SLOWER than the fused-XLA "vpu" form on v5e (594.8 vs 550.3
+        # ms/fwd): the per-key-frame fori_loop at VMEM-safe tile sizes
+        # pays more in loop overhead than it saves in HBM traffic. Kept
+        # as a variant for other frame counts / future Mosaic versions.
+        from vdpp_tpu.ops.temporal_attention_kernel import frame_attention
+
+        out = frame_attention(q, k, v).astype(x.dtype)
+        return linear(out.reshape(bf, l, c), params["to_out"])
     if impl == "einsum":
         # Batched-matmul form: contraction d with batch (b, l, h). The
         # per-element matmuls are (F, d)x(d, F) — tiny M/N with a huge
