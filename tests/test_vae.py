@@ -75,3 +75,17 @@ def test_roundtrip_runs(enc, dec):
     zf = z[None]  # (1, 4, 16, 16, C)
     out = d.apply(pd, zf)
     assert out.shape == (1, 4, 32, 32, 3)
+
+
+def test_decode_data_parallel_matches_chunked(dec):
+    from vdpp_tpu.parallel.mesh import make_data_mesh
+
+    cfg, d, params = dec
+    lat = jax.random.normal(jax.random.key(7), (1, 6, 8, 8, cfg.latent_channels))
+    mesh = make_data_mesh(4)
+    out_dp = d.decode_data_parallel(params, lat, mesh, chunk_frames=2)
+    out_seq = d.decode_chunked(params, lat, chunk_frames=2)
+    assert out_dp.shape == out_seq.shape
+    np.testing.assert_allclose(
+        np.asarray(out_dp), np.asarray(out_seq), rtol=2e-5, atol=2e-5
+    )
