@@ -251,12 +251,25 @@ def main(argv=None) -> int:
     # ---- decode + save ----
     t0 = time.perf_counter()
     os.makedirs(args.output_dir, exist_ok=True)
+    decode_mesh = None
+    if stages > 1:
+        # Decode chunks in parallel over the same devices (the reference
+        # decodes on one rank while the rest idle).
+        from vdpp_tpu.parallel.mesh import make_data_mesh
+
+        decode_mesh = make_data_mesh(stages)
     outputs = []
     for i in range(args.num_samples):
         lat = latents[i] / vae_cfg.scaling_factor
-        video = vae_dec.decode_chunked(
-            vae_dec_params, lat, chunk_frames=args.decode_chunk_frames
-        )  # (1, F, H, W, 3)
+        if decode_mesh is not None:
+            video = vae_dec.decode_data_parallel(
+                vae_dec_params, lat, decode_mesh,
+                chunk_frames=args.decode_chunk_frames,
+            )
+        else:
+            video = vae_dec.decode_chunked(
+                vae_dec_params, lat, chunk_frames=args.decode_chunk_frames
+            )  # (1, F, H, W, 3)
         frames = frames_to_uint8(np.asarray(video[0]))
         name = build_output_name(
             "svd", num_frames=args.num_frames, steps=args.steps, stages=stages,
