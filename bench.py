@@ -96,9 +96,20 @@ def main() -> None:
         * model.init_noise_sigma
     )
 
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(generate(bundle, noise))
-    compile_and_first = time.perf_counter() - t0
+    # First execution compiles; the remote-compile path in some
+    # environments fails transiently ("response body closed") — retry.
+    out = None
+    for attempt in range(3):
+        try:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(generate(bundle, noise))
+            compile_and_first = time.perf_counter() - t0
+            break
+        except Exception as e:  # transient compile-transport errors
+            log(f"first-run attempt {attempt} failed: {type(e).__name__}: {e}")
+            if attempt == 2:
+                raise
+            time.sleep(10)
     log(f"first video (incl. compile): {compile_and_first:.1f}s")
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32)))), "non-finite output"
 
