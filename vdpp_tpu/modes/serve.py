@@ -1,0 +1,232 @@
+"""Serving mode: HTTP video-generation endpoint.
+
+The reference is a batch CLI system; this framework's ticked pipeline
+executor was designed for the serving shape too — samples arriving over
+time keep the stage pipeline filled. This mode is a minimal stdlib HTTP
+server proving that path end to end:
+
+    POST /generate  {"seed": 42, "num_frames": 4, "guidance_scale": 3.0,
+                     "format": "y4m"|"gif"}
+        -> video bytes (y4m via the native C++ packer, or gif)
+    GET  /healthz   -> {"status": "ok", ...}
+
+Requests are served sequentially from a lock-protected model (single
+controller, whole mesh per request — concurrency scaling belongs to a
+fleet scheduler, not this process).
+
+Example:
+    python -m vdpp_tpu.modes.serve --preset tiny --backend cpu \
+        --num-stages 4 --steps 8 --port 8787
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+LOGGER = logging.getLogger("vdpp.serve")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--preset", default="tiny", choices=["svd_xt", "tiny"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num-stages", type=int, default=None)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--num-frames", type=int, default=4)
+    p.add_argument("--latent-hw", type=int, nargs=2, default=[16, 16],
+                   metavar=("H", "W"))
+    p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--fps", type=int, default=7)
+    p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-level", default="INFO")
+    return p
+
+
+class _Engine:
+    """Owns the model + pipeline; one request at a time."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from vdpp_tpu.models.svd_unet import SVDUNetConfig
+        from vdpp_tpu.models.svd_wrapper import (
+            StableVideoUNet,
+            make_dummy_conditioning,
+        )
+        from vdpp_tpu.models.vae import TemporalVAEDecoder, VAEConfig
+        from vdpp_tpu.parallel.mesh import make_pipeline_mesh
+        from vdpp_tpu.parallel.pipeline import PipelineConfig, StepPipeline
+
+        self.jax = jax
+        self.jnp = jnp
+        self.args = args
+        tiny = args.preset == "tiny"
+        self.unet_cfg = SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
+        self.vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.svd()
+
+        self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps)
+        self.vae_dec = TemporalVAEDecoder(self.vae_cfg)
+        if args.checkpoint:
+            import os
+
+            from vdpp_tpu.utils.weights import load_params
+
+            self.params = load_params(
+                os.path.join(args.checkpoint, "unet.npz"), dtype=self.unet_cfg.dtype
+            )
+            self.vae_params = load_params(
+                os.path.join(args.checkpoint, "vae_decoder.npz")
+            )
+        else:
+            self.params = jax.jit(self.model.init)(jax.random.key(args.seed))
+            self.vae_params = self.vae_dec.init(jax.random.key(args.seed + 1))
+
+        self.mesh = make_pipeline_mesh(args.num_stages)
+        self.stages = self.mesh.shape["stage"]
+        self.pipe = StepPipeline(
+            self.mesh,
+            self.model.pipeline_step_fn(),
+            PipelineConfig(args.steps, self.stages),
+        )
+        self.lock = threading.Lock()
+        self.requests_served = 0
+        self._cond_cache: dict = {}
+        LOGGER.info("engine ready: %d stages, %d steps", self.stages, args.steps)
+
+    def generate(self, seed: int, num_frames: int, guidance: float | None):
+        jax, jnp = self.jax, self.jnp
+        args = self.args
+        h, w = args.latent_hw
+        key = (num_frames, guidance)
+        if key not in self._cond_cache:
+            from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
+
+            self._cond_cache[key] = make_dummy_conditioning(
+                jax.random.key(args.seed + 2), 1, num_frames, h, w,
+                cross_dim=self.unet_cfg.cross_attention_dim,
+                guidance_scale=guidance,
+            )
+        cond = self._cond_cache[key]
+        noise = (
+            jax.random.normal(jax.random.key(seed), (1, 1, num_frames, h, w, 4))
+            * self.model.init_noise_sigma
+        )
+        with self.lock:
+            t0 = time.perf_counter()
+            latents = self.pipe.run((self.params, cond), noise)
+            video = self.vae_dec.decode_chunked(
+                self.vae_params, latents[0] / self.vae_cfg.scaling_factor
+            )
+            video = jax.block_until_ready(video)
+            elapsed = time.perf_counter() - t0
+            self.requests_served += 1
+        return video[0], elapsed  # (F, H, W, 3)
+
+
+def _make_handler(engine: _Engine, fps: int):
+    import numpy as np
+
+    from vdpp_tpu.utils.native import write_y4m
+    from vdpp_tpu.utils.video_io import frames_to_uint8
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):
+            LOGGER.info("%s " + fmt, self.client_address[0], *a)
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "stages": engine.stages,
+                    "steps": engine.args.steps,
+                    "requests_served": engine.requests_served,
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                seed = int(req.get("seed", 0))
+                frames = int(req.get("num_frames", engine.args.num_frames))
+                guidance = req.get("guidance_scale", engine.args.guidance_scale)
+                fmt = req.get("format", "gif")
+                video, elapsed = engine.generate(seed, frames, guidance)
+                frames_u8 = frames_to_uint8(np.asarray(video))
+                if fmt == "y4m":
+                    import tempfile
+
+                    with tempfile.NamedTemporaryFile(suffix=".y4m") as f:
+                        write_y4m(f.name, frames_u8, fps=fps)
+                        data = open(f.name, "rb").read()
+                    ctype = "video/x-yuv4mpeg"
+                else:
+                    import imageio.v3 as iio
+
+                    buf = io.BytesIO()
+                    iio.imwrite(buf, frames_u8, extension=".gif",
+                                duration=int(1000 / fps), loop=0)
+                    data = buf.getvalue()
+                    ctype = "image/gif"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("X-Generation-Seconds", f"{elapsed:.3f}")
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:  # surface errors as JSON
+                LOGGER.exception("generate failed")
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from vdpp_tpu.utils.logging import setup_logging
+
+    setup_logging(args.log_level)
+    engine = _Engine(args)
+    # Warm the compile so the first request isn't a multi-minute outlier.
+    engine.generate(0, args.num_frames, args.guidance_scale)
+    LOGGER.info("warmed; serving on http://%s:%d", args.host, args.port)
+
+    server = ThreadingHTTPServer((args.host, args.port), _make_handler(engine, args.fps))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        LOGGER.info("shutting down")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
