@@ -139,3 +139,24 @@ def test_2d_mesh_pp_times_dp(model_and_params, oracle):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
     with pytest.raises(ValueError, match="divisible"):
         pipe.run(params, inputs[:5])
+
+
+@pytest.mark.parametrize(
+    "total_steps,num_stages,num_samples",
+    [(6, 2, 1), (12, 4, 5), (16, 8, 3), (8, 8, 2), (24, 4, 7)],
+)
+def test_schedule_invariance_matrix(model_and_params, total_steps, num_stages,
+                                    num_samples):
+    """Randomized (T, S, N) combos: pipelined == oracle for all of them."""
+    model, params = model_and_params
+    step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
+    inputs = jax.random.normal(
+        jax.random.key(total_steps * 100 + num_stages), (num_samples, *LATENT)
+    )
+    ref = run_reference_single_device(step_fn, params, inputs, total_steps)
+    pipe = StepPipeline(
+        make_pipeline_mesh(num_stages), step_fn,
+        PipelineConfig(total_steps, num_stages),
+    )
+    out = pipe.run(params, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
