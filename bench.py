@@ -115,8 +115,16 @@ def main() -> None:
 
     times = []
     for i in range(videos):
+        # Fresh noise per timed video: repeated identical dispatches can
+        # be deduplicated by remote-device relays, faking ~0 s timings.
+        noise_i = (
+            jax.random.normal(
+                jax.random.key(100 + i), (1, frames, lat_h, lat_w, 4), jnp.float32
+            )
+            * model.init_noise_sigma
+        )
         t0 = time.perf_counter()
-        jax.block_until_ready(generate(bundle, noise))
+        jax.block_until_ready(generate(bundle, noise_i))
         times.append(time.perf_counter() - t0)
         log(f"video {i}: {times[-1]:.2f}s")
 
