@@ -178,8 +178,12 @@ def _init_st_resblock(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int) ->
     return {
         "spatial": _init_spatial_resnet(kg, cfg, in_ch, out_ch),
         "temporal": _init_temporal_resnet(kg, cfg, out_ch),
-        # Learned spatial/temporal blend, alpha = sigmoid(mix_factor);
-        # init 0.5 pre-sigmoid matches the family convention.
+        # Learned spatial/temporal blend, alpha = sigmoid(mix_factor)
+        # weighting the SPATIAL path (AlphaBlender "learned_with_images",
+        # switch_spatial_to_temporal_mix=False — the UNet convention; the
+        # VAE TemporalDecoder is the switched one). Init 0.5 pre-sigmoid
+        # matches the family convention. Golden-tested against a torch
+        # oracle in tests/test_torch_block_parity.py.
         "mix_factor": jnp.asarray(0.5, cfg.dtype),
     }
 
@@ -319,8 +323,14 @@ def _st_transformer(
         if not ablate_temporal:
             h_mix = h + f_emb
             h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames)
-            # switch_spatial_to_temporal_mix: alpha weights the temporal path.
-            h = (1.0 - alpha) * h + alpha * h_mix
+            # AlphaBlender(merge_strategy="learned_with_images", NO switch):
+            # alpha = sigmoid(mix_factor) weights the SPATIAL path. Anchor:
+            # "learned_with_images" forces alpha=1 for image-only samples,
+            # which must select the pure spatial path — so alpha multiplies
+            # spatial. The switched direction belongs to the VAE
+            # TemporalDecoder blocks only (see models/vae.py). Golden-tested
+            # against a torch oracle in tests/test_torch_block_parity.py.
+            h = alpha * h + (1.0 - alpha) * h_mix
 
     h = linear(h, p["proj_out"])
     return h.reshape(bf, hh, ww, c) + residual
