@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--preset", choices=["svd_xt", "tiny"], default="svd_xt",
+                    help="UNet topology; 'tiny' is used by the mock-diffusers "
+                         "harness test (tests/test_compare_harness.py)")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--frames", type=int, default=14)
     ap.add_argument("--height", type=int, default=576)
@@ -61,6 +64,11 @@ def main():
     from vdpp_tpu.utils.weights import convert_unet_state_dict
 
     lat_h, lat_w = args.height // 8, args.width // 8
+    config = (
+        SVDUNetConfig.tiny()
+        if args.preset == "tiny"
+        else SVDUNetConfig.svd_xt(dtype=jnp.float32)
+    )
 
     # ---- official side ----
     torch.manual_seed(args.seed)
@@ -76,7 +84,7 @@ def main():
     )
     sched.set_timesteps(args.steps)
 
-    clip_t = torch.randn(1, 1, 1024)
+    clip_t = torch.randn(1, 1, config.cross_attention_dim)
     img_lat_t = torch.randn(1, 4, args.frames, lat_h, lat_w)
     noise_t = torch.randn(1, 4, args.frames, lat_h, lat_w)
     latent_t = noise_t * sched.init_noise_sigma
@@ -92,11 +100,13 @@ def main():
         ).prev_sample
 
     # ---- this framework, identical inputs ----
-    model = StableVideoUNet(
-        SVDUNetConfig.svd_xt(dtype=jnp.float32), num_steps=args.steps
-    )
+    model = StableVideoUNet(config, num_steps=args.steps)
     params = convert_unet_state_dict(
-        {k: v.numpy() for k, v in unet.state_dict().items()}, dtype=jnp.float32
+        {k: v.numpy() for k, v in unet.state_dict().items()},
+        num_levels=config.num_levels,
+        layers_per_block=config.layers_per_block,
+        transformer_layers=config.transformer_layers_per_block,
+        dtype=jnp.float32,
     )
     cond = make_conditioning(
         image_embeddings=jnp.asarray(clip_t.numpy()),
