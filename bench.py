@@ -3,20 +3,36 @@
 Prints ONE machine-readable JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Default configuration matches the reference's single-GPU flagship demo
-measurement — SVD-XT UNet, 14 frames, 1024x576 (latent 72x128), 25 steps,
-CFG ramp 1->3 — whose diffusion phase took 47.65 s on an RTX A5000
-(reference: EXPERIMENT_RESULTS.md:255-268; see BASELINE.md). Weights are
-randomly initialized (bit-identical architecture & math; HF weights are
-not downloadable in this environment), which does not change the compute
-profile.
+Flagship configuration = the driver metric's config (BASELINE.json:
+"steady-state sec/video, 25-frame 30-step SVD"): SVD-XT UNet, 25 frames,
+1024x576 (latent 72x128), 30 steps, CFG ramp 1->3, single chip. A
+secondary 14f/25-step row (the reference's single-GPU demo config,
+diffusion phase 47.65 s on an RTX A5000 — reference:
+EXPERIMENT_RESULTS.md:255-268) is also measured and logged to stderr for
+round-to-round continuity.
 
-vs_baseline = baseline_sec / measured_sec  (>1 means faster than the
-reference's single-GPU number on its own headline workload).
+vs_baseline = baseline_sec / measured_sec (>1 means faster than the
+reference's single-GPU number). For the flagship config the reference
+published no single-GPU 25f/30-step row (it OOMs at higher settings and
+was run on 7 GPUs), so the baseline is the *linear* extrapolation of its
+measured 14f/25-step diffusion time by frames*steps:
+    47.65 s * (25*30)/(14*25) = 102.11 s
+— linear-in-frames is generous to the reference (attention grows
+superlinearly in frames).
+
+Weights are randomly initialized (bit-identical architecture & math; HF
+weights are not downloadable in this environment), which does not change
+the compute profile.
+
+Stability contract: videos are measured until the last two agree within
+10% (up to VDPP_BENCH_MAX_VIDEOS), and the mean of the agreeing tail is
+reported.
 
 Env knobs: VDPP_BENCH_FRAMES, VDPP_BENCH_H, VDPP_BENCH_W (latent dims),
-VDPP_BENCH_STEPS, VDPP_BENCH_VIDEOS, VDPP_BENCH_GUIDANCE,
-VDPP_BENCH_CFG_MODE (sequential|batched), VDPP_BENCH_PRESET (full|tiny).
+VDPP_BENCH_STEPS, VDPP_BENCH_VIDEOS, VDPP_BENCH_MAX_VIDEOS,
+VDPP_BENCH_GUIDANCE, VDPP_BENCH_CFG_MODE (sequential|batched),
+VDPP_BENCH_PRESET (full|tiny), VDPP_BENCH_SECONDARY (1|0),
+VDPP_BENCH_BASELINE_SEC.
 """
 
 from __future__ import annotations
@@ -29,60 +45,65 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Reference single-A5000 diffusion time at 14f/25-step/CFG (measured).
+SECONDARY_BASELINE_SEC = 47.65
+# Linear frames*steps extrapolation to the flagship 25f/30-step config.
+FLAGSHIP_BASELINE_SEC = SECONDARY_BASELINE_SEC * (25 * 30) / (14 * 25)
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    from vdpp_tpu.models.svd_unet import SVDUNetConfig
+def _compile_with_retry(jitted, *args, what: str = "program"):
+    """AOT lower+compile; the remote-compile path can transiently fail
+    ("response body closed") — retry."""
+    for attempt in range(3):
+        try:
+            t0 = time.perf_counter()
+            compiled = jitted.lower(*args).compile()
+            log(f"compile {what}: {time.perf_counter() - t0:.1f}s")
+            return compiled
+        except Exception as e:
+            log(f"compile attempt {attempt} failed: {type(e).__name__}: {e}")
+            if attempt == 2:
+                raise
+            time.sleep(10)
+
+
+def measure_config(
+    *,
+    label: str,
+    config,
+    frames: int,
+    lat_h: int,
+    lat_w: int,
+    steps: int,
+    guidance: float,
+    cfg_mode: str,
+    min_videos: int,
+    max_videos: int,
+) -> dict:
+    """Measure one (model, shape, schedule) configuration.
+
+    Returns {"sec_per_video", "times", "memory" (program analysis or None),
+    "stable" (last two runs within 10%)}.
+    """
     from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
-
-    preset = os.environ.get("VDPP_BENCH_PRESET", "full")
-    frames = int(os.environ.get("VDPP_BENCH_FRAMES", 14))
-    lat_h = int(os.environ.get("VDPP_BENCH_H", 72))
-    lat_w = int(os.environ.get("VDPP_BENCH_W", 128))
-    steps = int(os.environ.get("VDPP_BENCH_STEPS", 25))
-    videos = int(os.environ.get("VDPP_BENCH_VIDEOS", 2))
-    guidance = float(os.environ.get("VDPP_BENCH_GUIDANCE", 3.0))
-    cfg_mode = os.environ.get("VDPP_BENCH_CFG_MODE", "sequential")
-    # Reference single-A5000 diffusion-phase time for this exact config
-    # (25 steps, 14f, 1024x576, CFG 1->3): 47.65 s.
-    baseline_sec = float(os.environ.get("VDPP_BENCH_BASELINE_SEC", 47.65))
-
-    if preset == "tiny":
-        config = SVDUNetConfig.tiny()
-        frames, lat_h, lat_w, steps = 3, 16, 16, 4
-    else:
-        config = SVDUNetConfig.svd_xt()
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}, platform: {dev.platform}")
-    log(
-        f"config: {preset}, {frames}f latent {lat_h}x{lat_w}, {steps} steps, "
-        f"guidance {guidance}, cfg_mode {cfg_mode}"
-    )
+    from vdpp_tpu.utils.memory import compiled_memory_analysis
 
     model = StableVideoUNet(config, num_steps=steps, cfg_mode=cfg_mode)
     t0 = time.perf_counter()
-    params = jax.jit(model.init)(jax.random.key(0))
-    params = jax.block_until_ready(params)
-    log(f"init: {time.perf_counter() - t0:.1f}s")
+    params = jax.block_until_ready(jax.jit(model.init)(jax.random.key(0)))
+    log(f"[{label}] init: {time.perf_counter() - t0:.1f}s")
 
     cond = make_dummy_conditioning(
-        jax.random.key(1),
-        1,
-        frames,
-        lat_h,
-        lat_w,
+        jax.random.key(1), 1, frames, lat_h, lat_w,
         cross_dim=config.cross_attention_dim,
-        guidance_scale=guidance,
-        dtype=jnp.float32,
+        guidance_scale=guidance, dtype=jnp.float32,
     )
-
     step_fn = model.pipeline_step_fn()
 
-    @jax.jit
     def generate(bundle, latent):
         def body(x, k):
             return step_fn(bundle, x, k), None
@@ -90,52 +111,114 @@ def main() -> None:
         out, _ = jax.lax.scan(body, latent, jnp.arange(steps, dtype=jnp.int32))
         return out
 
-    bundle = (params, cond)
-    noise = (
-        jax.random.normal(jax.random.key(2), (1, frames, lat_h, lat_w, 4), jnp.float32)
-        * model.init_noise_sigma
-    )
-
-    # First execution compiles; the remote-compile path in some
-    # environments fails transiently ("response body closed") — retry.
-    out = None
-    for attempt in range(3):
-        try:
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(generate(bundle, noise))
-            compile_and_first = time.perf_counter() - t0
-            break
-        except Exception as e:  # transient compile-transport errors
-            log(f"first-run attempt {attempt} failed: {type(e).__name__}: {e}")
-            if attempt == 2:
-                raise
-            time.sleep(10)
-    log(f"first video (incl. compile): {compile_and_first:.1f}s")
-    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32)))), "non-finite output"
-
-    times = []
-    for i in range(videos):
-        # Fresh noise per timed video: repeated identical dispatches can
-        # be deduplicated by remote-device relays, faking ~0 s timings.
-        noise_i = (
+    def fresh_noise(seed: int):
+        return (
             jax.random.normal(
-                jax.random.key(100 + i), (1, frames, lat_h, lat_w, 4), jnp.float32
+                jax.random.key(seed), (1, frames, lat_h, lat_w, 4), jnp.float32
             )
             * model.init_noise_sigma
         )
+
+    bundle = (params, cond)
+    noise0 = fresh_noise(2)
+    # One AOT compile serves execution, buffer donation, and the
+    # peak-memory fallback (allocator stats are empty through the tunnel).
+    compiled = _compile_with_retry(
+        jax.jit(generate, donate_argnums=(1,)), bundle, noise0, what=label
+    )
+    memory = compiled_memory_analysis(compiled)
+    if memory:
+        log(f"[{label}] program memory (GB/device): {memory}")
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(compiled(bundle, noise0))
+    log(f"[{label}] first video (post-compile): {time.perf_counter() - t0:.1f}s")
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32)))), "non-finite output"
+
+    times: list[float] = []
+    stable = False
+    for i in range(max_videos):
+        # Fresh noise per timed video: repeated identical dispatches can be
+        # deduplicated by remote-device relays, faking ~0 s timings.
+        noise_i = fresh_noise(100 + i)
         t0 = time.perf_counter()
-        jax.block_until_ready(generate(bundle, noise_i))
+        jax.block_until_ready(compiled(bundle, noise_i))
         times.append(time.perf_counter() - t0)
-        log(f"video {i}: {times[-1]:.2f}s")
+        log(f"[{label}] video {i}: {times[-1]:.2f}s")
+        if len(times) >= min_videos:
+            a, b = times[-2], times[-1]
+            if abs(a - b) / max(a, b) <= 0.10:
+                stable = True
+                break
+    tail = times[-2:] if stable else times
+    sec_per_video = sum(tail) / len(tail)
+    log(
+        f"[{label}] sec/video: {sec_per_video:.2f} "
+        f"({'stable' if stable else 'UNSTABLE'}, {len(times)} runs)"
+    )
+    return {
+        "sec_per_video": sec_per_video,
+        "times": times,
+        "memory": memory,
+        "stable": stable,
+    }
 
-    try:
-        from vdpp_tpu.utils.memory import peak_memory_gb_per_device
 
-        log(f"peak HBM (GB): {peak_memory_gb_per_device()[0]:.2f}")
-    except Exception:
-        pass
+def main() -> None:
+    from vdpp_tpu.models.svd_unet import SVDUNetConfig
 
-    sec_per_video = sum(times) / len(times)
+    preset = os.environ.get("VDPP_BENCH_PRESET", "full")
+    frames = int(os.environ.get("VDPP_BENCH_FRAMES", 25))
+    lat_h = int(os.environ.get("VDPP_BENCH_H", 72))
+    lat_w = int(os.environ.get("VDPP_BENCH_W", 128))
+    steps = int(os.environ.get("VDPP_BENCH_STEPS", 30))
+    min_videos = int(os.environ.get("VDPP_BENCH_VIDEOS", 2))
+    max_videos = int(os.environ.get("VDPP_BENCH_MAX_VIDEOS", 4))
+    guidance = float(os.environ.get("VDPP_BENCH_GUIDANCE", 3.0))
+    cfg_mode = os.environ.get("VDPP_BENCH_CFG_MODE", "sequential")
+    secondary = os.environ.get("VDPP_BENCH_SECONDARY", "1") == "1"
+    baseline_sec = float(
+        os.environ.get("VDPP_BENCH_BASELINE_SEC", FLAGSHIP_BASELINE_SEC)
+    )
+
+    if preset == "tiny":
+        config = SVDUNetConfig.tiny()
+        frames, lat_h, lat_w, steps = 3, 16, 16, 4
+        secondary = False
+    else:
+        config = SVDUNetConfig.svd_xt()
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, platform: {dev.platform}")
+    log(
+        f"flagship: {preset}, {frames}f latent {lat_h}x{lat_w}, {steps} steps, "
+        f"guidance {guidance}, cfg_mode {cfg_mode}; baseline {baseline_sec:.2f}s"
+    )
+
+    flagship = measure_config(
+        label="flagship",
+        config=config,
+        frames=frames, lat_h=lat_h, lat_w=lat_w, steps=steps,
+        guidance=guidance, cfg_mode=cfg_mode,
+        min_videos=min_videos, max_videos=max_videos,
+    )
+
+    if secondary:
+        # Round-to-round continuity row: the reference's measured
+        # single-GPU config (14f, 25 steps).
+        sec = measure_config(
+            label="secondary-14f25s",
+            config=config,
+            frames=14, lat_h=lat_h, lat_w=lat_w, steps=25,
+            guidance=guidance, cfg_mode=cfg_mode,
+            min_videos=2, max_videos=3,
+        )
+        log(
+            f"[secondary-14f25s] vs reference single-GPU 47.65s: "
+            f"{SECONDARY_BASELINE_SEC / sec['sec_per_video']:.2f}x"
+        )
+
+    sec_per_video = flagship["sec_per_video"]
     result = {
         "metric": (
             f"sec/video single-chip SVD {frames}f {lat_h}x{lat_w} latent, "

@@ -94,6 +94,35 @@ def test_generate_y4m_and_determinism(server):
     assert a != c  # different seed -> different video
 
 
+def test_concurrent_requests_share_the_pipeline(server):
+    """Overlapping requests ride one PipelineStream; both must succeed
+    (the deterministic tick-level sharing proof lives in
+    tests/test_pipeline_stream.py)."""
+    import threading
+
+    results = {}
+
+    def fetch(name, seed):
+        req = urllib.request.Request(
+            server + "/generate",
+            data=json.dumps({"seed": seed, "format": "gif"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            results[name] = (r.status, float(r.headers["X-Generation-Seconds"]))
+
+    threads = [
+        threading.Thread(target=fetch, args=("a", 11)),
+        threading.Thread(target=fetch, args=("b", 12)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results["a"][0] == 200 and results["b"][0] == 200
+    assert results["a"][1] > 0 and results["b"][1] > 0
+
+
 def test_unknown_path_404(server):
     req = urllib.request.Request(server + "/nope", data=b"{}")
     try:

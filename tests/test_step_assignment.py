@@ -8,7 +8,11 @@ and StepRange semantics — plus the uneven-split extension.
 
 import pytest
 
-from vdpp_tpu.parallel.step_assignment import StepRange, assign_steps, assign_steps_uneven
+from vdpp_tpu.parallel.step_assignment import (
+    StepRange,
+    assign_steps,
+    assign_steps_uneven,
+)
 
 
 @pytest.mark.parametrize("world_size", [1, 2, 4, 7])

@@ -13,14 +13,13 @@ single jitted ``lax.scan`` over "ticks", with the per-step latent hand-off
 expressed as ``jax.lax.ppermute`` along a ``Mesh`` axis.
 """
 
-from vdpp_tpu.parallel.step_assignment import StepRange, assign_steps, assign_steps_uneven
+from vdpp_tpu.parallel.step_assignment import StepRange, assign_steps
 
 __version__ = "0.1.0"
 
 __all__ = [
     "StepRange",
     "assign_steps",
-    "assign_steps_uneven",
     "__version__",
     # lazy: StepPipeline, PipelineConfig, StableVideoUNet, ... (see __getattr__)
 ]

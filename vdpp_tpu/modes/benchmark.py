@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--fsdp", action="store_true",
                    help="parameter-sharded mode: all devices, all steps")
+    p.add_argument("--data-parallel-size", type=int, default=1,
+                   help="2-D (stage x data) mesh: each of the D data columns "
+                        "runs an independent pipeline over its sample shard "
+                        "(PP x DP combined — beyond the reference's 1-D modes; "
+                        "implies --fused)")
     p.add_argument("--fused", action="store_true",
                    help="single-jit whole-schedule program (derived per-sample times)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
@@ -145,24 +150,42 @@ def main(argv=None) -> int:
         mode = "fsdp"
         per_sample_ms = [t * 1e3 for t in per_sample]
     else:
-        mesh = make_pipeline_mesh(args.num_stages)
+        dp = args.data_parallel_size
+        if dp > 1:
+            from vdpp_tpu.parallel.mesh import make_2d_mesh
+
+            if not args.fused:
+                LOGGER.info("2-D (stage x data) mesh runs the fused executor")
+                args.fused = True
+            if args.num_stages is None:
+                args.num_stages = len(jax.devices()) // dp
+            if total_n % dp != 0:
+                raise SystemExit(
+                    f"--num-samples + --warmup-samples ({total_n}) must be "
+                    f"divisible by --data-parallel-size ({dp})"
+                )
+            mesh = make_2d_mesh(args.num_stages, dp)
+        else:
+            mesh = make_pipeline_mesh(args.num_stages)
         world = mesh.shape["stage"]
         pipe = StepPipeline(mesh, step_fn, PipelineConfig(args.total_steps, world))
         steps_per_device = args.total_steps // world
-        mode = "pipeline"
+        mode = "pipeline" if dp == 1 else "pipeline_x_dp"
         if args.fused:
-            # compile both shapes
-            jax.block_until_ready(pipe.run(bundle, inputs[:1]))
+            # compile both shapes (the fill probe uses one sample per data
+            # column so its N is divisible by dp)
+            jax.block_until_ready(pipe.run(bundle, inputs[:dp]))
             jax.block_until_ready(pipe.run(bundle, inputs))
             t0 = time.perf_counter()
-            jax.block_until_ready(pipe.run(bundle, inputs[:1]))
+            jax.block_until_ready(pipe.run(bundle, inputs[:dp]))
             first = time.perf_counter() - t0
             t0 = time.perf_counter()
             jax.block_until_ready(pipe.run(bundle, inputs))
             total = time.perf_counter() - t0
-            steady = (total - first) / max(total_n - 1, 1)
+            # steady state emits dp samples per pipeline tick-period
+            steady = (total - first) / max(total_n - dp, 1)
             throughput = total_n / total
-            per_sample_ms = [first * 1e3] + [steady * 1e3] * (total_n - 1)
+            per_sample_ms = [first * 1e3] * dp + [steady * 1e3] * (total_n - dp)
         else:
             out, tick_times = pipe.run_ticked(bundle, inputs)
             # sample i completes at tick i + S - 1
@@ -182,6 +205,25 @@ def main(argv=None) -> int:
             throughput = 1.0 / steady if steady else 0.0
             per_sample_ms = [t * 1e3 for t in per_sample]
 
+    # Peak memory: allocator stats where the backend reports them; else
+    # fall back to XLA's compile-time program analysis of the main
+    # executable (reference reports torch.cuda.max_memory_allocated,
+    # src/modes/benchmark.py:239-249 — the tunnel/CPU backends here return
+    # empty allocator stats, so the program analysis is the honest source).
+    peak_mem = peak_memory_gb_per_device(mesh.devices.flatten())
+    mem_source = "allocator"
+    program_mem = None
+    if not any(peak_mem):
+        if args.fsdp:
+            program_mem = runner.memory_analysis(
+                bundle, inputs[: args.warmup_samples or 1]
+            )
+        else:
+            program_mem = pipe.memory_analysis(bundle, inputs, ticked=not args.fused)
+        if program_mem:
+            mem_source = "compiled_program"
+            peak_mem = [program_mem["peak_gb"]] * int(mesh.devices.size)
+
     results = benchmark_results_dict(
         world_size=world,
         total_steps=args.total_steps,
@@ -195,12 +237,22 @@ def main(argv=None) -> int:
         avg_sample_time_s=steady,
         throughput_samples_per_s=throughput,
         per_sample_times_ms=per_sample_ms,
-        peak_memory_gb_per_device=peak_memory_gb_per_device(mesh.devices.flatten()),
+        peak_memory_gb_per_device=peak_mem,
         extra={
+            # per data column: N/dp samples through an S-deep pipeline
             "bubble_fraction": (
-                0.0 if args.fsdp else round((world - 1) / (total_n + world - 1), 4)
+                0.0
+                if args.fsdp
+                else round(
+                    (world - 1)
+                    / (total_n // args.data_parallel_size + world - 1),
+                    4,
+                )
             ),
+            "data_parallel_size": 1 if args.fsdp else args.data_parallel_size,
             "platform": jax.devices()[0].platform,
+            "peak_memory_source": mem_source,
+            **({"program_memory_gb": program_mem} if program_mem else {}),
         },
     )
     emit_benchmark_json(results)

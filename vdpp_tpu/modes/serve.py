@@ -1,18 +1,17 @@
-"""Serving mode: HTTP video-generation endpoint.
+"""Serving mode: HTTP video-generation endpoint on a streaming pipeline.
 
-The reference is a batch CLI system; this framework's ticked pipeline
-executor was designed for the serving shape too — samples arriving over
-time keep the stage pipeline filled. This mode is a minimal stdlib HTTP
-server proving that path end to end:
+The reference is a batch CLI system; this framework's streaming executor
+(vdpp_tpu.parallel.pipeline.PipelineStream) was designed for the serving
+shape — requests arriving over time keep the stage pipeline FILLED, so
+concurrent requests share one pipeline: a request submitted while another
+is in transit completes one tick after it, not a full pipeline-depth
+later. VAE decode happens outside the stream, overlapping the next
+request's denoising.
 
     POST /generate  {"seed": 42, "num_frames": 4, "guidance_scale": 3.0,
                      "format": "y4m"|"gif"}
         -> video bytes (y4m via the native C++ packer, or gif)
     GET  /healthz   -> {"status": "ok", ...}
-
-Requests are served sequentially from a lock-protected model (single
-controller, whole mesh per request — concurrency scaling belongs to a
-fleet scheduler, not this process).
 
 Example:
     python -m vdpp_tpu.modes.serve --preset tiny --backend cpu \
@@ -60,10 +59,7 @@ class _Engine:
         import jax.numpy as jnp
 
         from vdpp_tpu.models.svd_unet import SVDUNetConfig
-        from vdpp_tpu.models.svd_wrapper import (
-            StableVideoUNet,
-            make_dummy_conditioning,
-        )
+        from vdpp_tpu.models.svd_wrapper import StableVideoUNet
         from vdpp_tpu.models.vae import TemporalVAEDecoder, VAEConfig
         from vdpp_tpu.parallel.mesh import make_pipeline_mesh
         from vdpp_tpu.parallel.pipeline import PipelineConfig, StepPipeline
@@ -99,37 +95,51 @@ class _Engine:
             self.model.pipeline_step_fn(),
             PipelineConfig(args.steps, self.stages),
         )
-        self.lock = threading.Lock()
+        self.lock = threading.Lock()  # stream creation + counters
         self.requests_served = 0
-        self._cond_cache: dict = {}
+        self._streams: dict = {}  # (num_frames, guidance) -> PipelineStream
         LOGGER.info("engine ready: %d stages, %d steps", self.stages, args.steps)
 
-    def generate(self, seed: int, num_frames: int, guidance: float | None):
+    def _get_stream(self, num_frames: int, guidance: float | None):
+        """One PipelineStream per (frames, guidance) config; requests with
+        the same config share its filled pipeline."""
         jax, jnp = self.jax, self.jnp
         args = self.args
         h, w = args.latent_hw
         key = (num_frames, guidance)
-        if key not in self._cond_cache:
-            from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
+        with self.lock:
+            if key not in self._streams:
+                from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
 
-            self._cond_cache[key] = make_dummy_conditioning(
-                jax.random.key(args.seed + 2), 1, num_frames, h, w,
-                cross_dim=self.unet_cfg.cross_attention_dim,
-                guidance_scale=guidance,
-            )
-        cond = self._cond_cache[key]
+                cond = make_dummy_conditioning(
+                    jax.random.key(args.seed + 2), 1, num_frames, h, w,
+                    cross_dim=self.unet_cfg.cross_attention_dim,
+                    guidance_scale=guidance,
+                )
+                self._streams[key] = self.pipe.stream(
+                    (self.params, cond), (1, num_frames, h, w, 4), jnp.float32
+                )
+            return self._streams[key]
+
+    def generate(self, seed: int, num_frames: int, guidance: float | None):
+        jax = self.jax
+        args = self.args
+        h, w = args.latent_hw
+        stream = self._get_stream(num_frames, guidance)
         noise = (
-            jax.random.normal(jax.random.key(seed), (1, 1, num_frames, h, w, 4))
+            jax.random.normal(jax.random.key(seed), (1, num_frames, h, w, 4))
             * self.model.init_noise_sigma
         )
+        t0 = time.perf_counter()
+        # Denoise through the SHARED streaming pipeline; decode outside it
+        # so the next request's denoising overlaps this one's decode.
+        latents = stream.submit(noise).result(timeout=1800)
+        video = self.vae_dec.decode_chunked(
+            self.vae_params, latents / self.vae_cfg.scaling_factor
+        )
+        video = jax.block_until_ready(video)
+        elapsed = time.perf_counter() - t0
         with self.lock:
-            t0 = time.perf_counter()
-            latents = self.pipe.run((self.params, cond), noise)
-            video = self.vae_dec.decode_chunked(
-                self.vae_params, latents[0] / self.vae_cfg.scaling_factor
-            )
-            video = jax.block_until_ready(video)
-            elapsed = time.perf_counter() - t0
             self.requests_served += 1
         return video[0], elapsed  # (F, H, W, 3)
 

@@ -124,3 +124,19 @@ class FSDPRunner:
         params = shard_params(params, self.mesh, self.specs_for(params))
         inputs = jax.device_put(inputs, NamedSharding(self.mesh, P()))
         return self._jitted(params, inputs)
+
+    def shard_params(self, params: Any) -> Any:
+        """Place ``params`` with this runner's FSDP shardings (exposed so
+        callers can measure per-device parameter bytes —
+        vdpp_tpu.utils.memory.params_bytes_per_device)."""
+        return shard_params(params, self.mesh, self.specs_for(params))
+
+    def memory_analysis(self, params: Any, inputs: jax.Array) -> dict | None:
+        """Compile-time per-device memory accounting of the FSDP program."""
+        from vdpp_tpu.utils.memory import jitted_memory_analysis
+
+        if self._jitted is None:
+            self._jitted = self._build(params)
+        params = self.shard_params(params)
+        inputs = jax.device_put(inputs, NamedSharding(self.mesh, P()))
+        return jitted_memory_analysis(self._jitted, params, inputs)

@@ -267,6 +267,72 @@ class StepPipeline:
             self._jitted[key] = self._build(n_local)
         return self._jitted[key](params, inputs)
 
+    def memory_analysis(self, params, inputs: jax.Array, ticked: bool = False) -> dict | None:
+        """Compile-time per-device memory accounting (the allocator-free
+        peak-memory source — vdpp_tpu.utils.memory.compiled_memory_analysis).
+
+        ``ticked=True`` analyzes the per-tick program instead of the fused
+        whole-schedule program (matching whichever executor actually ran,
+        so no extra compile is paid)."""
+        from vdpp_tpu.utils.memory import jitted_memory_analysis
+
+        n_total = int(inputs.shape[0])
+        if ticked:
+            key = ("tick", n_total, inputs.shape[1:], str(inputs.dtype))
+            if key not in self._jitted:
+                self._jitted[key] = self._build_tick(n_total)
+            buf = jnp.zeros((self.config.num_stages, *inputs.shape[1:]), inputs.dtype)
+            return jitted_memory_analysis(
+                self._jitted[key], params, inputs, buf, jnp.int32(0)
+            )
+        n_local = n_total // self.data_parallel_size
+        key = (n_local, inputs.shape[1:], str(inputs.dtype))
+        if key not in self._jitted:
+            self._jitted[key] = self._build(n_local)
+        return jitted_memory_analysis(self._jitted[key], params, inputs)
+
+    def _build_stream_tick(self) -> Callable:
+        """Streaming tick: stage 0 ingests an explicit ``fresh`` latent
+        argument (a request arriving NOW) instead of gathering from a
+        pre-staged batch. Used by ``PipelineStream`` for serving, where
+        concurrent requests share one filled pipeline. The stage buffer is
+        donated (one resident copy)."""
+        mesh = self.mesh
+        cfg = self.config
+        S, K = cfg.num_stages, cfg.steps_per_stage
+        step_fn = self.step_fn
+        buf_spec = P(STAGE_AXIS)
+
+        def per_stage(params, fresh, buf):
+            s = jax.lax.axis_index(STAGE_AXIS)
+            x = jnp.where(s == 0, fresh, buf[0])
+
+            def body(xc, k):
+                return step_fn(params, xc, s * K + k), None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+            emitted = x
+            x = jax.lax.ppermute(x, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            return x[None], emitted[None]
+
+        sharded = jax.shard_map(
+            per_stage,
+            mesh=mesh,
+            in_specs=(P(), P(), buf_spec),
+            out_specs=(buf_spec, buf_spec),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(2,))
+
+    def stream(self, params, latent_shape: tuple, dtype=jnp.float32) -> "PipelineStream":
+        """Open a streaming executor: ``submit(latent) -> Future``.
+
+        Requests arriving over time keep the stage pipeline filled — the
+        serving shape the ticked executor was built for. All in-flight
+        samples share ``params`` (the replicated (weights, conditioning)
+        bundle)."""
+        return PipelineStream(self, params, latent_shape, dtype)
+
     def run_ticked(self, params, inputs: jax.Array):
         """Host-stepped execution returning per-tick wall-clock times.
 
@@ -298,6 +364,104 @@ class StepPipeline:
             if t >= S - 1:
                 outputs.append(emitted[S - 1])
         return jnp.stack(outputs), tick_times
+
+
+class PipelineStream:
+    """Host-driven streaming executor over one filled stage pipeline.
+
+    A background driver thread ticks the pipeline whenever work is in
+    flight: at each tick stage 0 ingests the oldest queued request (or an
+    idle placeholder), every stage advances its resident sample by its
+    step slice, and the final stage's output completes the request that
+    was ingested S-1 ticks earlier. Overlapping requests therefore share
+    the pipeline — request 2 submitted during request 1's transit finishes
+    one tick after it, not a full pipeline-depth later.
+
+    This is the serving analogue of the reference's ``run_many``
+    multi-sample fill (reference: src/pipeline/pipeline.py:113-132), with
+    the sample stream arriving over time instead of known up front.
+    """
+
+    def __init__(self, pipe: StepPipeline, params, latent_shape: tuple, dtype):
+        import queue
+        import threading
+
+        self.pipe = pipe
+        self.params = params
+        self.latent_shape = tuple(latent_shape)
+        self._S = pipe.config.num_stages
+        self._tick_fn = pipe._build_stream_tick()
+        self._buf = jnp.zeros((self._S, *self.latent_shape), dtype)
+        self._idle = jnp.zeros(self.latent_shape, dtype)
+        self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._in_flight: list = []  # futures by ingestion order, newest last
+        self._cv = threading.Condition()
+        self._pending = 0
+        self._stopped = False
+        self.ticks_run = 0
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    def submit(self, latent: jax.Array):
+        """Enqueue one sample ``(*latent_shape)``; returns a Future whose
+        result is the finished latent."""
+        from concurrent.futures import Future
+
+        if tuple(latent.shape) != self.latent_shape:
+            raise ValueError(
+                f"latent shape {latent.shape} != stream shape {self.latent_shape}"
+            )
+        fut: Future = Future()
+        self._queue.put((latent, fut))
+        with self._cv:
+            self._pending += 1
+            self._cv.notify()
+        return fut
+
+    def close(self) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify()
+        self._thread.join(timeout=60)
+
+    # ------------------------------------------------------------------ #
+    def _drive(self) -> None:
+        import queue
+
+        def work_remains():
+            return self._pending or any(f is not None for f in self._in_flight)
+
+        while True:
+            with self._cv:
+                self._cv.wait_for(lambda: self._stopped or work_remains())
+                if self._stopped and not work_remains():
+                    return
+            try:
+                fresh, fut = self._queue.get_nowait()
+                with self._cv:
+                    self._pending -= 1
+            except queue.Empty:
+                fresh, fut = self._idle, None  # keep draining in-flight work
+            try:
+                self._buf, emitted = self._tick_fn(self.params, fresh, self._buf)
+                self.ticks_run += 1
+                self._in_flight.append(fut)
+                if len(self._in_flight) >= self._S:
+                    done = self._in_flight.pop(0)
+                    if done is not None:
+                        done.set_result(jax.block_until_ready(emitted[self._S - 1]))
+                # Once no real request is in transit, stop burning idle
+                # ticks (positional bookkeeping restarts cleanly: a future
+                # ingested later still completes exactly S ticks on).
+                if all(f is None for f in self._in_flight):
+                    self._in_flight.clear()
+            except Exception as e:  # surface tick failures to all waiters
+                for f in [fut] + self._in_flight:
+                    if f is not None and not f.done():
+                        f.set_exception(e)
+                self._in_flight.clear()
+                if self._stopped:
+                    return
 
 
 def run_reference_single_device(

@@ -72,10 +72,13 @@ def assign_steps_uneven(total_steps: int, world_size: int, rank: int) -> StepRan
     stages take one extra step.
 
     Extension beyond the reference (which mandates even splits,
-    src/pipeline/step_assignment.py:60-63). Useful when the chip count does
-    not divide the schedule (e.g. 30 steps on 8 chips -> 4,4,4,4,4,4,3,3).
-    Note the jitted SPMD pipeline requires *uniform* per-tick work; uneven
-    assignment is for the per-stage sequential executor and host-driven modes.
+    src/pipeline/step_assignment.py:60-63). Analysis/diagnostic helper only
+    (deliberately NOT in the top-level API): the production path for
+    non-divisible schedules is identity-step padding
+    (``EulerKarrasSchedule.create(pad_to_multiple_of=...)``,
+    vdpp_tpu/diffusion/scheduler.py), which keeps per-tick work uniform —
+    a requirement of the jitted SPMD pipeline — while producing
+    bit-identical output to the unpadded schedule.
     """
     _validate(total_steps, world_size, rank)
     base, rem = divmod(total_steps, world_size)
