@@ -89,3 +89,18 @@ def test_decode_data_parallel_matches_chunked(dec):
     np.testing.assert_allclose(
         np.asarray(out_dp), np.asarray(out_seq), rtol=2e-5, atol=2e-5
     )
+
+
+def test_decode_data_parallel_partial_chunk_matches_chunked(dec):
+    """f % chunk_frames != 0: the trailing partial chunk must decode at
+    its true length (regression: frame-padding used to bleed zeros into
+    real frames through the temporal convs of the mixed chunk)."""
+    from vdpp_tpu.parallel.mesh import make_data_mesh
+
+    cfg, d, params = dec
+    lat = jax.random.normal(jax.random.key(40), (1, 6, 8, 8, cfg.latent_channels))
+    out_dp = d.decode_data_parallel(params, lat, make_data_mesh(2), chunk_frames=4)
+    out_seq = d.decode_chunked(params, lat, chunk_frames=4)
+    np.testing.assert_allclose(
+        np.asarray(out_dp), np.asarray(out_seq), rtol=1e-5, atol=1e-5
+    )

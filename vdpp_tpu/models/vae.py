@@ -310,32 +310,41 @@ class TemporalVAEDecoder:
         idle (reference: scripts/generate_video_demo.py:414-423). Chunked
         decode makes chunks independent, so they shard across devices: on
         a v5e-8 this is an 8x decode speedup for free. Semantics are
-        identical to ``decode_chunked`` with the same chunk size.
-
-        Frames are padded to devices*chunk_frames; padding is sliced off.
+        ELEMENTWISE identical to ``decode_chunked`` with the same chunk
+        size: the chunk COUNT is padded with whole dummy chunks (discarded
+        afterwards — chunks are independent, so dummies never contaminate
+        real frames), and a trailing partial chunk is decoded separately
+        at its true length, exactly as ``decode_chunked`` does.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         b, f = latents.shape[:2]
         n_dev = mesh.shape[axis_name]
-        per_dev = -(-f // (n_dev * chunk_frames)) * chunk_frames
-        f_pad = per_dev * n_dev
-        if f_pad != f:
-            pad = jnp.zeros((b, f_pad - f, *latents.shape[2:]), latents.dtype)
-            latents = jnp.concatenate([latents, pad], axis=1)
-        # (n_dev*chunks, b, chunk_frames, h, w, c) sharded on axis 0
-        chunks = latents.reshape(
-            b, f_pad // chunk_frames, chunk_frames, *latents.shape[2:]
-        ).swapaxes(0, 1)
-        chunks = jax.device_put(chunks, NamedSharding(mesh, P(axis_name)))
-        params = jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), params
-        )
+        n_full = f // chunk_frames
+        rem = f - n_full * chunk_frames
+        pieces = []
+        if n_full:
+            chunks = latents[:, : n_full * chunk_frames].reshape(
+                b, n_full, chunk_frames, *latents.shape[2:]
+            ).swapaxes(0, 1)  # (n_full, b, chunk_frames, h, w, c)
+            n_pad = (-n_full) % n_dev
+            if n_pad:
+                chunks = jnp.concatenate(
+                    [chunks, jnp.zeros((n_pad, *chunks.shape[1:]), chunks.dtype)],
+                    axis=0,
+                )
+            chunks = jax.device_put(chunks, NamedSharding(mesh, P(axis_name)))
+            params_r = jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), params
+            )
 
-        @jax.jit
-        def decode_all(p, cs):
-            return jax.vmap(lambda c: self.apply(p, c))(cs)
+            @jax.jit
+            def decode_all(p, cs):
+                return jax.vmap(lambda c: self.apply(p, c))(cs)
 
-        out = decode_all(params, chunks)  # (chunks, b, chunk_frames, H, W, 3)
-        out = out.swapaxes(0, 1).reshape(b, f_pad, *out.shape[3:])
-        return out[:, :f]
+            out = decode_all(params_r, chunks)  # (chunks, b, cf, H, W, 3)
+            out = out[:n_full].swapaxes(0, 1)
+            pieces.append(out.reshape(b, n_full * chunk_frames, *out.shape[3:]))
+        if rem:
+            pieces.append(self.apply(params, latents[:, n_full * chunk_frames :]))
+        return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)

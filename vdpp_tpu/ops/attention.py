@@ -26,8 +26,13 @@ import jax.numpy as jnp
 
 from vdpp_tpu.ops.linear import init_linear, linear
 
-# Sequence length at/above which the fused kernel is used on TPU.
+# Sequence length at/above which the fused kernel is used on TPU
+# (overridable for per-site routing experiments via VDPP_FLASH_MIN_L).
 _FLASH_MIN_Q_LEN = 512
+
+
+def _flash_min_q_len() -> int:
+    return int(os.environ.get("VDPP_FLASH_MIN_L", _FLASH_MIN_Q_LEN))
 
 
 def _attn_impl() -> str:
@@ -156,7 +161,7 @@ def attention(
     v = v.reshape(b, m, heads, d)
 
     impl = _attn_impl()
-    if use_flash and context is None and l >= _FLASH_MIN_Q_LEN and impl != "naive":
+    if use_flash and context is None and l >= _flash_min_q_len() and impl != "naive":
         if impl == "identity":
             # Profiling ablation ONLY: skip the attention core (keeps the
             # qkv/out projections) to isolate its cost. Not a real mode.
