@@ -69,14 +69,29 @@ def main():
         impl = v.split("_", 1)[1] if "_" in v else v
         os.environ["VDPP_ATTN_IMPL"] = impl
 
-        fwd = jax.jit(lambda p, x: unet.apply(p, x, jnp.float32(1.0), ctx, tids))
+        # Tunnel-safe timing: params passed as an argument (not 3 GB of
+        # captured constants), fresh input per rep, and a scalar reduction
+        # inside jit whose host readback forces true completion.
+        fwd = jax.jit(
+            lambda p, xx: jnp.sum(
+                unet.apply(p, xx, jnp.float32(1.0), ctx, tids).astype(jnp.float32)
+            )
+        )
+
+        def fresh(seed):
+            return jax.random.normal(
+                jax.random.key(1000 + seed), (b, f, h, w, cfg.in_channels),
+                jnp.float32,
+            )
+
         t0 = time.time()
-        out = jax.block_until_ready(fwd(params, x))
+        float(fwd(params, x))
         compile_s = time.time() - t0
         times = []
-        for _ in range(args.reps):
+        for r in range(args.reps):
+            xi = jax.block_until_ready(fresh(r))
             t0 = time.time()
-            jax.block_until_ready(fwd(params, x))
+            float(fwd(params, xi))
             times.append(time.time() - t0)
         best = min(times)
         results[variant] = best

@@ -93,3 +93,51 @@ def test_wrapper_full_schedule_contracts(dit):
     for s in range(STEPS):
         x = wrapper.step(params, x, s)
     assert float(jnp.max(jnp.abs(x))) < float(jnp.max(jnp.abs(lat))) / 10.0
+
+
+# ------------------------- joint3d (CogVideoX-style) ----------------- #
+@pytest.fixture(scope="module")
+def dit3d():
+    cfg = DiTVideoConfig.joint3d_tiny()
+    m = DiTVideo(cfg)
+    return cfg, m, m.init(jax.random.key(5))
+
+
+def test_joint3d_output_shape_and_finite(dit3d):
+    cfg, m, params = dit3d
+    x = jax.random.normal(jax.random.key(6), (B, F, H, W, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(7), (B, 2, cfg.cross_attention_dim))
+    out = m.apply(params, x, jnp.float32(1.0), ctx)
+    assert out.shape == (B, F, H, W, cfg.out_channels)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_joint3d_temporal_mixing(dit3d):
+    """Joint attention must mix information ACROSS frames: perturbing one
+    frame changes other frames' outputs."""
+    cfg, m, params = dit3d
+    x = jax.random.normal(jax.random.key(8), (B, F, H, W, cfg.in_channels))
+    ctx = jnp.zeros((B, 2, cfg.cross_attention_dim))
+    a = m.apply(params, x, jnp.float32(1.0), ctx)
+    x2 = x.at[:, 0].add(1.0)
+    b2 = m.apply(params, x2, jnp.float32(1.0), ctx)
+    # frames other than the perturbed one must change too
+    assert not np.allclose(np.asarray(a[:, 1:]), np.asarray(b2[:, 1:]))
+
+
+def test_joint3d_under_pipeline_stage_invariance(dit3d):
+    cfg, m, params = dit3d
+    wrapper = DiTVideoWrapper(cfg, num_steps=STEPS)
+    ctx = jax.random.normal(jax.random.key(9), (B, 2, cfg.cross_attention_dim))
+    bundle = (params, ctx, None)
+    step_fn = wrapper.pipeline_step_fn()
+    inputs = (
+        jax.random.normal(jax.random.key(10), (2, B, F, H, W, cfg.in_channels))
+        * wrapper.init_noise_sigma
+    )
+    ref = run_reference_single_device(step_fn, bundle, inputs, STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(total_steps=STEPS, num_stages=2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -11,6 +11,9 @@ Architecture (Latte variant-1 style, TPU-first):
 * factorized attention: blocks alternate SPATIAL (tokens within a frame)
   and TEMPORAL (same patch across frames) self-attention — the factorized
   form keeps sequence lengths MXU-friendly vs full 3-D attention;
+* OR ``attention_mode="joint3d"`` (CogVideoX-style): every block attends
+  over the full F*N spatio-temporal token set jointly — quadratic in
+  frames*patches, served by the Pallas flash kernel at long L;
 * adaLN-Zero timestep conditioning (shift/scale/gate per block, zero-init
   gates) + optional cross-attention on conditioning tokens (CLIP image /
   text embeddings);
@@ -46,16 +49,31 @@ class DiTVideoConfig:
     num_heads: int = 16
     mlp_ratio: float = 4.0
     cross_attention_dim: int | None = 1024
+    attention_mode: str = "factorized"  # "factorized" | "joint3d"
     dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.attention_mode not in ("factorized", "joint3d"):
+            raise ValueError(f"unknown attention_mode {self.attention_mode!r}")
 
     @classmethod
     def latte_xl(cls, dtype=jnp.bfloat16) -> "DiTVideoConfig":
         return cls(dtype=dtype)
 
     @classmethod
+    def joint3d_xl(cls, dtype=jnp.bfloat16) -> "DiTVideoConfig":
+        """CogVideoX-style joint spatio-temporal attention at DiT-XL width."""
+        return cls(attention_mode="joint3d", dtype=dtype)
+
+    @classmethod
     def tiny(cls, dtype=jnp.float32) -> "DiTVideoConfig":
         return cls(hidden_size=32, depth=4, num_heads=2, cross_attention_dim=16,
                    dtype=dtype)
+
+    @classmethod
+    def joint3d_tiny(cls, dtype=jnp.float32) -> "DiTVideoConfig":
+        return cls(hidden_size=32, depth=4, num_heads=2, cross_attention_dim=16,
+                   attention_mode="joint3d", dtype=dtype)
 
 
 class _Keys:
@@ -162,8 +180,10 @@ class DiTVideo:
             "final_proj": init_linear(kg(), d, pout, cfg.dtype),
         }
         for i in range(cfg.depth):
-            is_spatial = i % 2 == 0
-            params["blocks"].append(_init_block(kg, cfg, cross=is_spatial))
+            # joint3d: every block is a full spatio-temporal block with
+            # cross-attention; factorized: alternate spatial/temporal.
+            cross = True if cfg.attention_mode == "joint3d" else i % 2 == 0
+            params["blocks"].append(_init_block(kg, cfg, cross=cross))
         return params
 
     def apply(
@@ -203,20 +223,33 @@ class DiTVideo:
         if context is not None:
             ctx_f = jnp.repeat(context.astype(cfg.dtype), f, axis=0)  # (B*F, M, Dc)
 
-        first_temporal = True
-        for i, blk in enumerate(params["blocks"]):
-            if i % 2 == 0:
-                # spatial: tokens within a frame
-                x = _block(blk, x, c_f, ctx_f, cfg.num_heads)
-            else:
-                # temporal: frame mixing in the resident layout (no
-                # physical (B*N, F, D) transpose — see _temporal_block)
-                if first_temporal:
-                    x = (
-                        x.reshape(b, f, n, d) + pos_t[None, :, None, :].astype(x.dtype)
-                    ).reshape(b * f, n, d)
-                    first_temporal = False
-                x = _temporal_block(blk, x, c_emb, cfg.num_heads, b, f)
+        if cfg.attention_mode == "joint3d":
+            # CogVideoX-style: one token set of F*N spatio-temporal tokens,
+            # every block attends over all of them jointly (flash kernel
+            # carries the long sequence). Temporal position added up front.
+            x = (
+                x.reshape(b, f, n, d) + pos_t[None, :, None, :].astype(x.dtype)
+            ).reshape(b, f * n, d)
+            ctx_b = context.astype(cfg.dtype) if context is not None else None
+            for blk in params["blocks"]:
+                x = _block(blk, x, c_emb, ctx_b, cfg.num_heads)
+            x = x.reshape(b * f, n, d)
+        else:
+            first_temporal = True
+            for i, blk in enumerate(params["blocks"]):
+                if i % 2 == 0:
+                    # spatial: tokens within a frame
+                    x = _block(blk, x, c_f, ctx_f, cfg.num_heads)
+                else:
+                    # temporal: frame mixing in the resident layout (no
+                    # physical (B*N, F, D) transpose — see _temporal_block)
+                    if first_temporal:
+                        x = (
+                            x.reshape(b, f, n, d)
+                            + pos_t[None, :, None, :].astype(x.dtype)
+                        ).reshape(b * f, n, d)
+                        first_temporal = False
+                    x = _temporal_block(blk, x, c_emb, cfg.num_heads, b, f)
 
         ada = linear(
             jax.nn.silu(c_f.astype(jnp.float32)).astype(c_f.dtype), params["final_ada"]

@@ -30,7 +30,8 @@ LOGGER = logging.getLogger("vdpp.benchmark")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="dummy",
-                   choices=["dummy", "svd", "svd_tiny", "dit", "dit_tiny"])
+                   choices=["dummy", "svd", "svd_tiny", "dit", "dit_tiny",
+                            "dit3d", "dit3d_tiny"])
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--total-steps", type=int, default=28)
     p.add_argument("--num-samples", type=int, default=4)
@@ -74,10 +75,12 @@ def _build_model(args, config_dtype):
         from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
         from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
 
-        dcfg = (
-            DiTVideoConfig.tiny() if args.model == "dit_tiny"
-            else DiTVideoConfig.latte_xl()
-        )
+        dcfg = {
+            "dit_tiny": DiTVideoConfig.tiny,
+            "dit": DiTVideoConfig.latte_xl,
+            "dit3d_tiny": DiTVideoConfig.joint3d_tiny,
+            "dit3d": DiTVideoConfig.joint3d_xl,
+        }[args.model]()
         wrapper = DiTVideoWrapper(dcfg, num_steps=args.total_steps)
         params = jax.jit(wrapper.init)(jax.random.key(args.seed))
         ctx = jax.random.normal(

@@ -85,6 +85,15 @@ def main(argv=None) -> int:
     # reference: EXPERIMENT_RESULTS_JP.md:866-872).
     latency = total / (args.num_samples // world)
 
+    peak_mem = peak_memory_gb_per_device(mesh.devices.flatten())
+    mem_source = "allocator"
+    program_mem = None
+    if not any(peak_mem):
+        program_mem = runner.memory_analysis(bundle, inputs)
+        if program_mem:
+            mem_source = "compiled_program"
+            peak_mem = [program_mem["peak_gb"]] * int(mesh.devices.size)
+
     results = benchmark_results_dict(
         world_size=world,
         total_steps=args.total_steps,
@@ -98,8 +107,12 @@ def main(argv=None) -> int:
         avg_sample_time_s=per_sample,
         throughput_samples_per_s=args.num_samples / total,
         per_sample_times_ms=[per_sample * 1e3] * args.num_samples,
-        peak_memory_gb_per_device=peak_memory_gb_per_device(mesh.devices.flatten()),
-        extra={"platform": jax.devices()[0].platform},
+        peak_memory_gb_per_device=peak_mem,
+        extra={
+            "platform": jax.devices()[0].platform,
+            "peak_memory_source": mem_source,
+            **({"program_memory_gb": program_mem} if program_mem else {}),
+        },
     )
     emit_benchmark_json(results)
     return 0

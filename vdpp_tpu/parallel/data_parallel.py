@@ -67,6 +67,16 @@ class DataParallelRunner:
         inputs = jax.device_put(inputs, NamedSharding(self.mesh, P(DATA_AXIS)))
         return self._jitted(params, inputs)
 
+    def memory_analysis(self, params: Any, inputs: jax.Array) -> dict | None:
+        """Compile-time per-device memory accounting of the DP program."""
+        from vdpp_tpu.utils.memory import jitted_memory_analysis
+
+        if self._jitted is None:
+            self._jitted = self._build()
+        params = replicate(params, self.mesh)
+        inputs = jax.device_put(inputs, NamedSharding(self.mesh, P(DATA_AXIS)))
+        return jitted_memory_analysis(self._jitted, params, inputs)
+
 
 class FSDPRunner:
     """Every device runs every step; parameters sharded across the mesh."""
