@@ -82,6 +82,21 @@ def test_production_mode_tiny():
     assert "final latent norm" in r.stderr + r.stdout
 
 
+def test_generate_video_text_cli(tmp_path):
+    """Text->video app (T5 + DiT + VAE) end to end on the CPU mesh."""
+    r = run_cli([
+        "scripts/generate_video_text.py", "--prompt", "ci smoke test",
+        "--random-weights", "--preset", "tiny", "--backend", "cpu",
+        "--num-frames", "2", "--steps", "4", "--num-stages", "1",
+        "--output-dir", str(tmp_path),
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TIMING" in r.stderr + r.stdout
+    assert any(p.suffix in (".y4m", ".mp4") for p in tmp_path.iterdir()), (
+        list(tmp_path.iterdir())
+    )
+
+
 def test_benchmark_rejects_bad_split():
     r = run_cli([
         "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",

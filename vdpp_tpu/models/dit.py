@@ -118,12 +118,12 @@ def _modulate(x, shift, scale):
 
 
 def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
-           heads: int) -> jax.Array:
+           heads: int, seq_axis: str | None = None) -> jax.Array:
     """x: (B', L, D); c_emb: (B', D) conditioning embedding."""
     ada = linear(jax.nn.silu(c_emb.astype(jnp.float32)).astype(c_emb.dtype), p["ada"])
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(ada, 6, axis=-1)
     h = _modulate(layer_norm(x, p["norm1"]), sh1, sc1)
-    x = x + g1[:, None, :] * attention(h, p["attn"], heads=heads)
+    x = x + g1[:, None, :] * attention(h, p["attn"], heads=heads, seq_axis=seq_axis)
     if "cross_attn" in p and ctx is not None:
         h = layer_norm(x, p["norm_cross"])
         x = x + attention(h, p["cross_attn"], heads=heads, context=ctx)
@@ -192,10 +192,22 @@ class DiTVideo:
         latent: jax.Array,
         timestep: jax.Array,
         context: jax.Array | None = None,
+        seq_axis: str | None = None,
+        seq_shards: int = 1,
     ) -> jax.Array:
         """latent (B, F, H, W, C) -> (B, F, H, W, C_out).
 
         context: optional (B, M, cross_dim) conditioning tokens.
+
+        seq_axis/seq_shards: sequence parallelism (must be called inside a
+        ``shard_map`` with mesh axis ``seq_axis`` of size ``seq_shards``).
+        The token axis is sharded across the axis after the (cheap,
+        device-replicated) patch embedding; attention gathers K/V over ICI
+        (ops/attention.py); everything else is token-local; the finished
+        tokens are all-gathered before unpatchify. Output is replicated —
+        bit-comparable to the unsharded forward. Factorized mode shards
+        the within-frame token axis (temporal attention stays local);
+        joint3d shards the full F*N token set.
         """
         cfg = self.config
         b, f, hh, ww, cch = latent.shape
@@ -223,6 +235,29 @@ class DiTVideo:
         if context is not None:
             ctx_f = jnp.repeat(context.astype(cfg.dtype), f, axis=0)  # (B*F, M, Dc)
 
+        def final_head(x_rows: jax.Array, cemb_rows: jax.Array) -> jax.Array:
+            # Positionwise: adaLN modulate + linear; valid in any (rows,
+            # tokens, D) layout as long as ``cemb_rows`` matches ``rows``.
+            ada = linear(
+                jax.nn.silu(cemb_rows.astype(jnp.float32)).astype(cemb_rows.dtype),
+                params["final_ada"],
+            )
+            shift, scale = jnp.split(ada, 2, axis=-1)
+            h = _modulate(layer_norm(x_rows, params["final_norm"]), shift, scale)
+            return linear(h, params["final_proj"])
+
+        def shard_tokens(tokens: jax.Array) -> jax.Array:
+            # Contiguous token slice for this device (order matches the
+            # tiled all_gather that reassembles the output).
+            ln = tokens.shape[1]
+            if ln % seq_shards != 0:
+                raise ValueError(
+                    f"token axis {ln} not divisible by seq_shards {seq_shards}"
+                )
+            loc = ln // seq_shards
+            idx = jax.lax.axis_index(seq_axis)
+            return jax.lax.dynamic_slice_in_dim(tokens, idx * loc, loc, axis=1)
+
         if cfg.attention_mode == "joint3d":
             # CogVideoX-style: one token set of F*N spatio-temporal tokens,
             # every block attends over all of them jointly (flash kernel
@@ -230,33 +265,40 @@ class DiTVideo:
             x = (
                 x.reshape(b, f, n, d) + pos_t[None, :, None, :].astype(x.dtype)
             ).reshape(b, f * n, d)
+            if seq_axis is not None:
+                x = shard_tokens(x)
             ctx_b = context.astype(cfg.dtype) if context is not None else None
             for blk in params["blocks"]:
-                x = _block(blk, x, c_emb, ctx_b, cfg.num_heads)
-            x = x.reshape(b * f, n, d)
+                x = _block(blk, x, c_emb, ctx_b, cfg.num_heads, seq_axis=seq_axis)
+            # Head in the (B, L, D) layout (identical math to (B*F, N, D) —
+            # the modulation is per batch element), then reassemble tokens.
+            x = final_head(x, c_emb)
+            if seq_axis is not None:
+                x = jax.lax.all_gather(x, seq_axis, axis=1, tiled=True)
+            x = x.reshape(b * f, n, -1)
         else:
+            if seq_axis is not None:
+                x = shard_tokens(x)  # shard the within-frame token axis
             first_temporal = True
             for i, blk in enumerate(params["blocks"]):
                 if i % 2 == 0:
                     # spatial: tokens within a frame
-                    x = _block(blk, x, c_f, ctx_f, cfg.num_heads)
+                    x = _block(blk, x, c_f, ctx_f, cfg.num_heads, seq_axis=seq_axis)
                 else:
                     # temporal: frame mixing in the resident layout (no
-                    # physical (B*N, F, D) transpose — see _temporal_block)
+                    # physical (B*N, F, D) transpose — see _temporal_block).
+                    # Token-local under sequence parallelism.
                     if first_temporal:
+                        nn = x.shape[1]
                         x = (
-                            x.reshape(b, f, n, d)
+                            x.reshape(b, f, nn, d)
                             + pos_t[None, :, None, :].astype(x.dtype)
-                        ).reshape(b * f, n, d)
+                        ).reshape(b * f, nn, d)
                         first_temporal = False
                     x = _temporal_block(blk, x, c_emb, cfg.num_heads, b, f)
-
-        ada = linear(
-            jax.nn.silu(c_f.astype(jnp.float32)).astype(c_f.dtype), params["final_ada"]
-        )
-        shift, scale = jnp.split(ada, 2, axis=-1)
-        x = _modulate(layer_norm(x, params["final_norm"]), shift, scale)
-        x = linear(x, params["final_proj"])  # (B*F, N, p*p*C_out)
+            x = final_head(x, c_f)  # (B*F, N_loc, p*p*C_out)
+            if seq_axis is not None:
+                x = jax.lax.all_gather(x, seq_axis, axis=1, tiled=True)
 
         x = x.reshape(b * f, gh, gw, p, p, cfg.out_channels)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, f, hh, ww, cfg.out_channels)
@@ -289,31 +331,44 @@ class DiTVideoWrapper:
     def init(self, key: jax.Array) -> dict:
         return self.model.init(key)
 
-    def step(self, params, latent, step_idx, context=None, guidance=None):
+    def step(self, params, latent, step_idx, context=None, guidance=None,
+             seq_axis=None, seq_shards=1):
         sigmas = jnp.asarray(self.schedule.sigmas)
         step_idx = jnp.asarray(step_idx)
         sigma = sigmas[step_idx]
         sigma_next = sigmas[step_idx + 1]
         timestep = 0.25 * jnp.log(sigma)
 
+        def fwd(ctx):
+            return self.model.apply(
+                params, scaled, timestep, ctx,
+                seq_axis=seq_axis, seq_shards=seq_shards,
+            )
+
         lat32 = latent.astype(jnp.float32)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         if guidance is not None and context is not None:
-            uncond = self.model.apply(params, scaled, timestep, jnp.zeros_like(context))
-            cond = self.model.apply(params, scaled, timestep, context)
+            uncond = fwd(jnp.zeros_like(context))
+            cond = fwd(context)
             g = guidance.astype(jnp.float32)
             eps = uncond.astype(jnp.float32) + g * (
                 cond.astype(jnp.float32) - uncond.astype(jnp.float32)
             )
         else:
-            eps = self.model.apply(params, scaled, timestep, context)
+            eps = fwd(context)
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
-    def pipeline_step_fn(self):
-        """bundle = (params, context|None, guidance|None)."""
+    def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1):
+        """bundle = (params, context|None, guidance|None).
+
+        ``seq_axis``/``seq_shards`` build a sequence-parallel step_fn (for
+        use inside a shard_map that carries that mesh axis — e.g. a
+        (stage, seq) mesh where StepPipeline provides the stage schedule
+        and every stage is a token-sharded device group)."""
 
         def step_fn(bundle, latent, step_idx):
             params, context, guidance = bundle
-            return self.step(params, latent, step_idx, context, guidance)
+            return self.step(params, latent, step_idx, context, guidance,
+                             seq_axis=seq_axis, seq_shards=seq_shards)
 
         return step_fn

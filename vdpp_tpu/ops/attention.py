@@ -109,7 +109,27 @@ def temporal_self_attention(
 
         out = frame_attention(q, k, v).astype(x.dtype)
         return linear(out.reshape(bf, l, c), params["to_out"])
-    if impl == "einsum":
+    if impl == "transpose":
+        # Physical relayout to (B*L, F, H, D) + XLA sdpa: pays 2 HBM
+        # round-trips of the qkv activations (~0.5 GB at the L0 site) to
+        # buy a standard attention shape. The frame axis becomes the
+        # sequence axis, so softmax/score work is a tiny (F, F) problem
+        # with a huge batch — XLA lowers it to fused batched matmuls.
+        qt = q.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, frames, d)
+        kt = k.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, frames, d)
+        vt = v.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, frames, d)
+        logits = jnp.einsum(
+            "bhfd,bhgd->bhfg", qt, kt, preferred_element_type=jnp.float32
+        ) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        ot = jnp.einsum(
+            "bhfg,bhgd->bhfd", w, vt, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = (
+            ot.reshape(batch, l, heads, frames, d)
+            .transpose(0, 3, 1, 2, 4)
+        )  # (B, F, L, H, D)
+    elif impl == "einsum":
         # Batched-matmul form: contraction d with batch (b, l, h). The
         # per-element matmuls are (F, d)x(d, F) — tiny M/N with a huge
         # batch count, a poor MXU shape.
@@ -142,9 +162,18 @@ def attention(
     heads: int,
     context: jax.Array | None = None,
     use_flash: bool = True,
+    seq_axis: str | None = None,
 ) -> jax.Array:
     """Multi-head attention over (B, L, C); ``context`` (B, M, Ckv) for
-    cross-attention (self-attention when None)."""
+    cross-attention (self-attention when None).
+
+    ``seq_axis``: name of a shard_map mesh axis along which the token axis
+    L is sharded (sequence/context parallelism). Queries stay local; the
+    K/V projections are computed on the local shard and ``all_gather``-ed
+    over the axis, so every device attends its L/n query tokens against
+    the full key set — exact attention, with the gather riding ICI.
+    Cross-attention needs no communication (context is replicated).
+    """
     b, l, c = x.shape
     ctx = x if context is None else context
     m = ctx.shape[1]
@@ -159,6 +188,10 @@ def attention(
     q = linear(x, params["to_q"]).reshape(b, l, heads, d)
     k = linear(ctx, params["to_k"]).reshape(b, m, heads, d)
     v = v.reshape(b, m, heads, d)
+    if seq_axis is not None and context is None:
+        k = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
+        m = k.shape[1]
 
     impl = _attn_impl()
     if use_flash and context is None and l >= _flash_min_q_len() and impl != "naive":

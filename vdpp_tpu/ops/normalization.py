@@ -45,6 +45,20 @@ def group_norm(
     return out.astype(orig_dtype)
 
 
+def init_rms_norm(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(x: jax.Array, params: dict, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm over the trailing axis (no mean subtraction, no bias), fp32
+    statistics — the T5 / LLaMA-family norm."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(var + eps)
+    return (xn * params["scale"].astype(jnp.float32)).astype(orig_dtype)
+
+
 def init_layer_norm(dim: int, dtype=jnp.float32) -> dict:
     return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
 

@@ -10,6 +10,9 @@ simulator mode maps to the same code running on a host-platform CPU mesh
 Axis conventions:
     "stage"  — pipeline stage axis (diffusion-step pipeline)
     "data"   — batch / sample axis (data-parallel baseline)
+    "seq"    — token axis (sequence/context parallelism for single-sample
+               latency; beyond the reference, which splits only the step
+               axis — see parallel/sequence_parallel.py)
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from jax.sharding import Mesh
 
 STAGE_AXIS = "stage"
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 
 
 def available_devices(backend: str | None = None) -> list[jax.Device]:
@@ -75,3 +79,28 @@ def make_2d_mesh(
         raise ValueError(f"Need {need} devices, have {len(devices)}.")
     arr = np.array(devices[:need]).reshape(num_stages, num_data)
     return Mesh(arr, (STAGE_AXIS, DATA_AXIS))
+
+
+def make_seq_mesh(num_shards: int | None = None, backend: str | None = None) -> Mesh:
+    """1-D mesh over the token (sequence) axis."""
+    devices = available_devices(backend)
+    if num_shards is None:
+        num_shards = len(devices)
+    if num_shards > len(devices):
+        raise ValueError(
+            f"Requested {num_shards} shards but only {len(devices)} devices available."
+        )
+    return Mesh(np.array(devices[:num_shards]), (SEQ_AXIS,))
+
+
+def make_stage_seq_mesh(
+    num_stages: int, num_seq: int, backend: str | None = None
+) -> Mesh:
+    """(stage, seq) mesh: step pipeline x sequence parallelism — each stage
+    is itself a ``num_seq``-device token-sharded group."""
+    devices = available_devices(backend)
+    need = num_stages * num_seq
+    if need > len(devices):
+        raise ValueError(f"Need {need} devices, have {len(devices)}.")
+    arr = np.array(devices[:need]).reshape(num_stages, num_seq)
+    return Mesh(arr, (STAGE_AXIS, SEQ_AXIS))

@@ -514,6 +514,46 @@ def convert_clip_state_dict(
     return params
 
 
+def convert_t5_encoder_state_dict(
+    state_dict: Mapping[str, Any],
+    num_layers: int = 24,
+    gated: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """transformers ``T5EncoderModel`` state dict -> our tree
+    (models/t5_encoder.py). ``gated`` selects the v1.1 gated-GELU FF
+    (wi_0/wi_1) vs the original ReLU FF (wi)."""
+    sd = _SD(state_dict, dtype)
+    embed_key = "shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"
+    params: dict = {
+        "embed": sd.get(embed_key),
+        "rel_bias": sd.get(
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+        "final_ln": {"scale": sd.get("encoder.final_layer_norm.weight")},
+        "blocks": [],
+    }
+    for i in range(num_layers):
+        a = f"encoder.block.{i}.layer.0"
+        ff = f"encoder.block.{i}.layer.1"
+        blk = {
+            "ln1": {"scale": sd.get(a + ".layer_norm.weight")},
+            "q": sd.linear(a + ".SelfAttention.q"),
+            "k": sd.linear(a + ".SelfAttention.k"),
+            "v": sd.linear(a + ".SelfAttention.v"),
+            "o": sd.linear(a + ".SelfAttention.o"),
+            "ln2": {"scale": sd.get(ff + ".layer_norm.weight")},
+        }
+        if gated:
+            blk["wi0"] = sd.linear(ff + ".DenseReluDense.wi_0")
+            blk["wi1"] = sd.linear(ff + ".DenseReluDense.wi_1")
+        else:
+            blk["wi"] = sd.linear(ff + ".DenseReluDense.wi")
+        blk["wo"] = sd.linear(ff + ".DenseReluDense.wo")
+        params["blocks"].append(blk)
+    return params
+
+
 # --------------------------- entry points ----------------------------- #
 def load_safetensors(path: str) -> dict[str, jnp.ndarray]:
     from safetensors import safe_open
