@@ -332,7 +332,7 @@ class DiTVideoWrapper:
         return self.model.init(key)
 
     def step(self, params, latent, step_idx, context=None, guidance=None,
-             seq_axis=None, seq_shards=1):
+             seq_axis=None, seq_shards=1, cfg_axis=None):
         sigmas = jnp.asarray(self.schedule.sigmas)
         step_idx = jnp.asarray(step_idx)
         sigma = sigmas[step_idx]
@@ -348,8 +348,18 @@ class DiTVideoWrapper:
         lat32 = latent.astype(jnp.float32)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         if guidance is not None and context is not None:
-            uncond = fwd(jnp.zeros_like(context))
-            cond = fwd(context)
+            if cfg_axis is not None:
+                # CFG parallelism: device 0 of the size-2 axis runs the
+                # uncond branch, device 1 the cond branch; one ppermute
+                # swaps the results (output replicated over the axis).
+                is_cond = jax.lax.axis_index(cfg_axis) == 1
+                local = fwd(context * is_cond.astype(context.dtype))
+                other = jax.lax.ppermute(local, cfg_axis, [(0, 1), (1, 0)])
+                uncond = jnp.where(is_cond, other, local)
+                cond = jnp.where(is_cond, local, other)
+            else:
+                uncond = fwd(jnp.zeros_like(context))
+                cond = fwd(context)
             g = guidance.astype(jnp.float32)
             eps = uncond.astype(jnp.float32) + g * (
                 cond.astype(jnp.float32) - uncond.astype(jnp.float32)
@@ -358,17 +368,21 @@ class DiTVideoWrapper:
             eps = fwd(context)
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
-    def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1):
+    def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1,
+                         cfg_axis: str | None = None):
         """bundle = (params, context|None, guidance|None).
 
-        ``seq_axis``/``seq_shards`` build a sequence-parallel step_fn (for
-        use inside a shard_map that carries that mesh axis — e.g. a
-        (stage, seq) mesh where StepPipeline provides the stage schedule
-        and every stage is a token-sharded device group)."""
+        ``seq_axis``/``seq_shards`` build a sequence-parallel step_fn;
+        ``cfg_axis`` a CFG-parallel one — for use inside a shard_map whose
+        mesh carries those axes. All three compose, e.g. a
+        (stage, seq, cfg) mesh runs the step pipeline where every stage is
+        a token-sharded group and every token group is an uncond/cond
+        pair: PP x SP x CFG in one jitted program."""
 
         def step_fn(bundle, latent, step_idx):
             params, context, guidance = bundle
             return self.step(params, latent, step_idx, context, guidance,
-                             seq_axis=seq_axis, seq_shards=seq_shards)
+                             seq_axis=seq_axis, seq_shards=seq_shards,
+                             cfg_axis=cfg_axis)
 
         return step_fn

@@ -182,8 +182,16 @@ class StableVideoUNet:
         latent_scaled: jax.Array,
         timestep: jax.Array,
         cond: SVDConditioning,
+        cfg_axis: str | None = None,
     ) -> jax.Array:
-        """UNet eval(s) incl. CFG; input is the pre-scaled latent."""
+        """UNet eval(s) incl. CFG; input is the pre-scaled latent.
+
+        ``cfg_axis``: name of a size-2 shard_map mesh axis across which the
+        uncond/cond branches run CONCURRENTLY (one UNet forward per device
+        instead of two in sequence), exchanged with a single latent-sized
+        ``ppermute`` — CFG parallelism, halving per-step latency at 2x
+        devices. Overrides ``cfg_mode`` when set and guidance is active.
+        """
         model_dtype = self.config.dtype
 
         def unet_call(lat_scaled, image_latents, ctx, added_time_ids=None):
@@ -200,7 +208,22 @@ class StableVideoUNet:
 
         zeros_lat = jnp.zeros_like(cond.image_latents)
         zeros_ctx = jnp.zeros_like(cond.image_embeddings)
-        if self.cfg_mode == "sequential":
+        if cfg_axis is not None:
+            # Device 0 computes the uncond branch (zeroed conditioning),
+            # device 1 the cond branch; one ppermute swaps the results so
+            # both hold (uncond, cond) and blend identically (the output
+            # stays replicated over the axis).
+            is_cond = jax.lax.axis_index(cfg_axis) == 1
+            flag = is_cond.astype(model_dtype)
+            local = unet_call(
+                latent_scaled,
+                cond.image_latents * flag,
+                cond.image_embeddings * flag,
+            )
+            other = jax.lax.ppermute(local, cfg_axis, [(0, 1), (1, 0)])
+            uncond = jnp.where(is_cond, other, local)
+            cond_p = jnp.where(is_cond, local, other)
+        elif self.cfg_mode == "sequential":
             # Two passes — halves activation memory
             # (reference: src/models/svd_unet.py:384-407).
             uncond = unet_call(latent_scaled, zeros_lat, zeros_ctx)
@@ -226,6 +249,7 @@ class StableVideoUNet:
         latent: jax.Array,
         step_idx: jax.Array,
         cond: SVDConditioning,
+        cfg_axis: str | None = None,
     ) -> jax.Array:
         """One full denoising step: scale, UNet(+CFG), fp32 Euler update
         (reference forward(), src/models/svd_unet.py:351-439)."""
@@ -237,7 +261,7 @@ class StableVideoUNet:
 
         lat32 = latent.astype(jnp.float32)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
-        eps = self.noise_pred(params, scaled, timestep, cond)
+        eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis)
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
     def bind(self, cond: SVDConditioning):
@@ -251,13 +275,17 @@ class StableVideoUNet:
 
         return step_fn
 
-    def pipeline_step_fn(self):
+    def pipeline_step_fn(self, cfg_axis: str | None = None):
         """``step_fn(bundle, latent, step)`` where ``bundle = (unet_params,
         SVDConditioning)`` — both travel through the pipeline engine as one
-        replicated pytree argument."""
+        replicated pytree argument.
+
+        ``cfg_axis``: build a CFG-parallel step_fn for a mesh carrying that
+        size-2 axis (e.g. a (stage, cfg) mesh — each pipeline stage is a
+        2-device uncond/cond group)."""
 
         def step_fn(bundle, latent: jax.Array, step_idx: jax.Array) -> jax.Array:
             params, cond = bundle
-            return self.step(params, latent, step_idx, cond)
+            return self.step(params, latent, step_idx, cond, cfg_axis=cfg_axis)
 
         return step_fn

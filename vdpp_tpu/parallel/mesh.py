@@ -26,6 +26,7 @@ from jax.sharding import Mesh
 STAGE_AXIS = "stage"
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+CFG_AXIS = "cfg"
 
 
 def available_devices(backend: str | None = None) -> list[jax.Device]:
@@ -79,6 +80,28 @@ def make_2d_mesh(
         raise ValueError(f"Need {need} devices, have {len(devices)}.")
     arr = np.array(devices[:need]).reshape(num_stages, num_data)
     return Mesh(arr, (STAGE_AXIS, DATA_AXIS))
+
+
+def make_cfg_mesh(backend: str | None = None) -> Mesh:
+    """2-device mesh over the classifier-free-guidance branch axis."""
+    devices = available_devices(backend)
+    if len(devices) < 2:
+        raise ValueError("CFG parallelism needs 2 devices.")
+    return Mesh(np.array(devices[:2]), (CFG_AXIS,))
+
+
+def make_axes_mesh(backend: str | None = None, **axes: int) -> Mesh:
+    """N-D mesh from named axis sizes, e.g. ``make_axes_mesh(stage=2,
+    seq=2, cfg=2)`` — the general constructor the 1-D/2-D helpers wrap."""
+    devices = available_devices(backend)
+    names = tuple(axes.keys())
+    sizes = tuple(axes.values())
+    need = 1
+    for s in sizes:
+        need *= s
+    if need > len(devices):
+        raise ValueError(f"Need {need} devices, have {len(devices)}.")
+    return Mesh(np.array(devices[:need]).reshape(sizes), names)
 
 
 def make_seq_mesh(num_shards: int | None = None, backend: str | None = None) -> Mesh:
