@@ -82,6 +82,32 @@ def test_production_mode_tiny():
     assert "final latent norm" in r.stderr + r.stdout
 
 
+def test_benchmark_cfg_parallel_contract():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "svd_tiny", "--cfg-parallel", "--guidance-scale", "3.0",
+        "--num-stages", "2", "--total-steps", "4", "--num-samples", "2",
+        "--warmup-samples", "0", "--latent-shape", "1", "4", "2", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = extract_benchmark_json(r.stdout)
+    assert data["mode"] == "pipeline_x_cfg"
+    assert data["world_size"] == 2  # stage axis only; cfg is within-stage
+
+
+def test_benchmark_seq_cfg_parallel_contract():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "dit3d_tiny", "--seq-parallel", "2", "--cfg-parallel",
+        "--guidance-scale", "5.0", "--num-stages", "2", "--total-steps", "4",
+        "--num-samples", "2", "--warmup-samples", "0",
+        "--latent-shape", "1", "4", "4", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = extract_benchmark_json(r.stdout)
+    assert data["mode"] == "pipeline_x_sp2_x_cfg"
+
+
 def test_generate_video_text_cli(tmp_path):
     """Text->video app (T5 + DiT + VAE) end to end on the CPU mesh."""
     r = run_cli([

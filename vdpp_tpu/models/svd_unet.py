@@ -192,8 +192,12 @@ def _st_resblock(
     p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig, batch: int, frames: int
 ) -> jax.Array:
     """x: (B*F, H, W, C) -> same; blends spatial and temporal residual paths."""
+    import os as _os
+
     bf, hh, ww, _ = x.shape
     h_spatial = _spatial_resnet(p["spatial"], x, emb, cfg)
+    if _os.environ.get("VDPP_ABLATE_TEMPORAL_RESNET") == "1":  # profiling only
+        return h_spatial
     c = h_spatial.shape[-1]
     hs = h_spatial.reshape(batch, frames, hh, ww, c)
     emb_bf = emb.reshape(batch, frames, -1)

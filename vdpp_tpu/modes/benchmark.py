@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs an independent pipeline over its sample shard "
                         "(PP x DP combined — beyond the reference's 1-D modes; "
                         "implies --fused)")
+    p.add_argument("--cfg-parallel", action="store_true",
+                   help="CFG branch parallelism: uncond/cond forwards on a "
+                        "size-2 'cfg' mesh axis inside every stage (needs "
+                        "--guidance-scale; svd/dit models)")
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="token-axis sharding width per stage (dit models): "
+                        "a (stage, seq[, cfg]) mesh")
     p.add_argument("--fused", action="store_true",
                    help="single-jit whole-schedule program (derived per-sample times)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
@@ -62,7 +69,19 @@ def _build_model(args, config_dtype):
     import jax.numpy as jnp
 
     b, c, f, h, w = args.latent_shape
+    # (getattr: benchmark_data_parallel reuses this builder with a parser
+    # that has no multi-axis flags)
+    cfg_parallel = getattr(args, "cfg_parallel", False)
+    cfg_axis = "cfg" if cfg_parallel else None
+    sp = getattr(args, "seq_parallel", 1)
+    if cfg_parallel and args.guidance_scale is None:
+        raise SystemExit("--cfg-parallel needs --guidance-scale (CFG active)")
     if args.model == "dummy":
+        if cfg_parallel or sp > 1:
+            raise SystemExit(
+                "--cfg-parallel/--seq-parallel need a CFG/transformer model "
+                "(svd*/dit*)"
+            )
         from vdpp_tpu.models.dummy_unet import DummyUNet
 
         model = DummyUNet(channels=c, hidden_channels=args.hidden_channels)
@@ -88,7 +107,10 @@ def _build_model(args, config_dtype):
         )
         guidance = make_guidance_ramp(args.guidance_scale, f)
         return (
-            wrapper.pipeline_step_fn(),
+            wrapper.pipeline_step_fn(
+                seq_axis="seq" if sp > 1 else None, seq_shards=sp,
+                cfg_axis=cfg_axis,
+            ),
             (params, ctx, guidance),
             (b, f, h, w, dcfg.in_channels),
             args.model,
@@ -97,6 +119,8 @@ def _build_model(args, config_dtype):
     from vdpp_tpu.models.svd_unet import SVDUNetConfig
     from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
 
+    if sp > 1:
+        raise SystemExit("--seq-parallel supports the dit models only")
     config = (
         SVDUNetConfig.tiny() if args.model == "svd_tiny" else SVDUNetConfig.svd_xt()
     )
@@ -107,7 +131,12 @@ def _build_model(args, config_dtype):
         cross_dim=config.cross_attention_dim,
         guidance_scale=args.guidance_scale,
     )
-    return model.pipeline_step_fn(), (params, cond), (b, f, h, w, 4), args.model
+    return (
+        model.pipeline_step_fn(cfg_axis=cfg_axis),
+        (params, cond),
+        (b, f, h, w, 4),
+        args.model,
+    )
 
 
 def main(argv=None) -> int:
@@ -154,6 +183,13 @@ def main(argv=None) -> int:
         per_sample_ms = [t * 1e3 for t in per_sample]
     else:
         dp = args.data_parallel_size
+        sp = args.seq_parallel
+        cfg_par = args.cfg_parallel
+        if dp > 1 and (sp > 1 or cfg_par):
+            raise SystemExit(
+                "--data-parallel-size composes with the stage axis only; "
+                "drop --seq-parallel/--cfg-parallel"
+            )
         if dp > 1:
             from vdpp_tpu.parallel.mesh import make_2d_mesh
 
@@ -168,12 +204,28 @@ def main(argv=None) -> int:
                     f"divisible by --data-parallel-size ({dp})"
                 )
             mesh = make_2d_mesh(args.num_stages, dp)
+        elif sp > 1 or cfg_par:
+            from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+            per_stage = sp * (2 if cfg_par else 1)
+            if args.num_stages is None:
+                args.num_stages = len(jax.devices()) // per_stage
+            axes = {"stage": args.num_stages}
+            if sp > 1:
+                axes["seq"] = sp
+            if cfg_par:
+                axes["cfg"] = 2
+            mesh = make_axes_mesh(**axes)
         else:
             mesh = make_pipeline_mesh(args.num_stages)
         world = mesh.shape["stage"]
         pipe = StepPipeline(mesh, step_fn, PipelineConfig(args.total_steps, world))
         steps_per_device = args.total_steps // world
         mode = "pipeline" if dp == 1 else "pipeline_x_dp"
+        if sp > 1:
+            mode += f"_x_sp{sp}"
+        if cfg_par:
+            mode += "_x_cfg"
         if args.fused:
             # compile both shapes (the fill probe uses one sample per data
             # column so its N is divisible by dp)

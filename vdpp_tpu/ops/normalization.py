@@ -36,6 +36,13 @@ def group_norm(
     c = x.shape[-1]
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by groups {num_groups}")
+    import os as _os
+
+    if _os.environ.get("VDPP_ABLATE_GROUPNORM") == "1":  # profiling only
+        return (
+            x.astype(jnp.float32) * params["scale"].astype(jnp.float32)
+            + params["bias"].astype(jnp.float32)
+        ).astype(orig_dtype)
     xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
