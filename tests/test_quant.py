@@ -1,0 +1,86 @@
+"""int8 weight-only quantization: roundtrip accuracy, byte halving, and
+full-model / pipelined execution with quantized weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdpp_tpu.models.svd_unet import SVDUNetConfig
+from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
+from vdpp_tpu.ops.linear import init_linear, linear
+from vdpp_tpu.ops.quant import (
+    dequantize_weight,
+    param_bytes,
+    quantize_tree,
+    quantize_weight,
+)
+from vdpp_tpu.parallel.mesh import make_pipeline_mesh
+from vdpp_tpu.parallel.pipeline import (
+    PipelineConfig,
+    StepPipeline,
+    run_reference_single_device,
+)
+
+
+def test_roundtrip_error_bounded():
+    w = jax.random.normal(jax.random.key(0), (64, 128), jnp.float32)
+    # scale columns wildly to exercise per-channel scales
+    w = w * jnp.logspace(-3, 2, 128)[None, :]
+    deq = dequantize_weight(quantize_weight(w), jnp.float32)
+    rel = np.abs(np.asarray(deq - w)).max(axis=0) / np.abs(np.asarray(w)).max(axis=0)
+    assert rel.max() < 1 / 127  # per-channel symmetric int8 bound
+
+
+def test_linear_dispatch_matches_dequant():
+    p = init_linear(jax.random.key(1), 32, 48, jnp.float32)
+    x = jax.random.normal(jax.random.key(2), (4, 32), jnp.float32)
+    pq = quantize_tree(p, min_size=0)
+    assert isinstance(pq["w"], dict) and pq["w"]["q"].dtype == jnp.int8
+    want = x @ dequantize_weight(pq["w"], jnp.float32) + p["b"]
+    np.testing.assert_allclose(
+        np.asarray(linear(x, pq)), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_model_bytes_halve_and_forward_close():
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4)
+    params = model.init(jax.random.key(0))
+    qparams = quantize_tree(params, min_size=256)
+
+    base = param_bytes(params)
+    quant = param_bytes(qparams)
+    # tiny model has many small unquantized leaves; still a clear drop.
+    assert quant < 0.75 * base
+
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 3, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    lat = jax.random.normal(jax.random.key(2), (1, 3, 16, 16, 4), jnp.float32)
+    a = model.step(params, lat, jnp.int32(0), cond)
+    b = model.step(qparams, lat, jnp.int32(0), cond)
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel  # weight-only int8: small relative drift
+
+
+def test_pipeline_runs_quantized():
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4)
+    qparams = quantize_tree(model.init(jax.random.key(0)), min_size=256)
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 3, 16, 16, cross_dim=cfg.cross_attention_dim
+    )
+    bundle = (qparams, cond)
+    step_fn = model.pipeline_step_fn()
+    inputs = (
+        jax.random.normal(jax.random.key(2), (2, 1, 3, 16, 16, 4), jnp.float32)
+        * model.init_noise_sigma
+    )
+    ref = run_reference_single_device(step_fn, bundle, inputs, 4)
+    pipe = StepPipeline(make_pipeline_mesh(4), step_fn, PipelineConfig(4, 4))
+    out = pipe.run(bundle, inputs)
+    # design invariant holds for the quantized model too
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    assert bool(jnp.all(jnp.isfinite(out)))

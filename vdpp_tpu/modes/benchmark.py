@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-parallel", type=int, default=1,
                    help="token-axis sharding width per stage (dit models): "
                         "a (stage, seq[, cfg]) mesh")
+    p.add_argument("--weights-int8", action="store_true",
+                   help="weight-only int8 quantization (halves parameter "
+                        "HBM; ops/quant.py)")
     p.add_argument("--fused", action="store_true",
                    help="single-jit whole-schedule program (derived per-sample times)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
@@ -158,6 +161,15 @@ def main(argv=None) -> int:
 
     setup_logging(args.log_level)
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
+    if getattr(args, "weights_int8", False):
+        from vdpp_tpu.ops.quant import param_bytes, quantize_tree
+
+        before = param_bytes(bundle)
+        bundle = quantize_tree(bundle)
+        LOGGER.info(
+            "int8 weights: %.1f -> %.1f MB of parameters",
+            before / 2**20, param_bytes(bundle) / 2**20,
+        )
     total_n = args.num_samples + args.warmup_samples
 
     inputs = jax.random.normal(

@@ -22,11 +22,21 @@ def init_conv2d(
     return {"w": w.astype(dtype), "b": jnp.zeros((out_ch,), dtype)}
 
 
+def _kernel_in(params: dict, dtype) -> jax.Array:
+    """Conv kernel in compute dtype; accepts the int8 weight-only form."""
+    w = params["w"]
+    if isinstance(w, dict):
+        from vdpp_tpu.ops.quant import dequantize_weight
+
+        return dequantize_weight(w, dtype)
+    return w.astype(dtype)
+
+
 def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.Array:
     """2-D conv, NHWC. fp32 accumulation on the MXU, output in x.dtype."""
     y = jax.lax.conv_general_dilated(
         x,
-        params["w"].astype(x.dtype),
+        _kernel_in(params, x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -48,11 +58,12 @@ def init_conv_temporal(
 
 def conv_temporal(x: jax.Array, params: dict) -> jax.Array:
     """Temporal conv over the frame axis of (B, F, H, W, C), SAME padding."""
-    k = params["w"].shape[0]
+    w = params["w"]
+    k = (w["q"] if isinstance(w, dict) else w).shape[0]
     pad = (k - 1) // 2
     y = jax.lax.conv_general_dilated(
         x,
-        params["w"].astype(x.dtype),
+        _kernel_in(params, x.dtype),
         window_strides=(1, 1, 1),
         padding=((pad, pad), (0, 0), (0, 0)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
