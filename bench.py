@@ -45,6 +45,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
+# Persist compiled executables across runs: the remote-compile tunnel
+# takes minutes per first compile and can transiently fail; the on-disk
+# cache replays in milliseconds (verified; utils/compile_cache.py).
+enable_persistent_cache()
+
 # Reference single-A5000 diffusion time at 14f/25-step/CFG (measured).
 SECONDARY_BASELINE_SEC = 47.65
 # Linear frames*steps extrapolation to the flagship 25f/30-step config.

@@ -125,7 +125,10 @@ def main(argv=None) -> int:
         save_video_mp4,
     )
 
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
     setup_logging(args.log_level)
+    enable_persistent_cache()
     t_start = time.perf_counter()
 
     if not args.checkpoint and not args.random_weights:

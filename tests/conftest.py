@@ -21,3 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persist compiled executables across test runs (keyed by HLO + jax
+# version — safe by construction); the suite is compile-dominated.
+from vdpp_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

@@ -57,7 +57,10 @@ def main(argv=None) -> int:
     from vdpp_tpu.utils.logging import setup_logging
     from vdpp_tpu.utils.memory import peak_memory_gb_per_device
 
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
     setup_logging(args.log_level)
+    enable_persistent_cache()
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
 
     mesh = make_data_mesh(args.num_devices)

@@ -224,7 +224,10 @@ def main(argv=None) -> int:
 
     from vdpp_tpu.utils.logging import setup_logging
 
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
     setup_logging(args.log_level)
+    enable_persistent_cache()
     engine = _Engine(args)
     # Warm the compile so the first request isn't a multi-minute outlier.
     engine.generate(0, args.num_frames, args.guidance_scale)

@@ -74,7 +74,10 @@ def main(argv=None) -> int:
     )
     from vdpp_tpu.utils.logging import setup_logging
 
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
     setup_logging(args.log_level)
+    enable_persistent_cache()
 
     b, c, f, h, w = args.latent_shape
     if c != args.channels:
