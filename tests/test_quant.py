@@ -65,6 +65,30 @@ def test_model_bytes_halve_and_forward_close():
     assert rel < 0.05, rel  # weight-only int8: small relative drift
 
 
+def test_fsdp_composes_with_int8():
+    """FSDP parameter sharding over int8 weights: the q tensors shard
+    like any other large leaf (specs are dtype-agnostic) — the two memory
+    levers stack (sharded bytes ~ full_int8 / n_devices)."""
+    from vdpp_tpu.parallel.data_parallel import FSDPRunner
+    from vdpp_tpu.parallel.mesh import make_data_mesh
+
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=2)
+    params = model.init(jax.random.key(0))
+    qparams = quantize_tree(params, min_size=256)
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 3, 16, 16, cross_dim=cfg.cross_attention_dim
+    )
+    step_fn = model.pipeline_step_fn()
+    lat = jax.random.normal(jax.random.key(2), (1, 1, 3, 16, 16, 4), jnp.float32)
+
+    ref = run_reference_single_device(step_fn, (qparams, cond), lat, 2)
+    mesh = make_data_mesh(4)
+    runner = FSDPRunner(mesh, step_fn, total_steps=2, min_shard_params=1024)
+    out = runner.run((qparams, cond), lat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_runs_quantized():
     cfg = SVDUNetConfig.tiny()
     model = StableVideoUNet(cfg, num_steps=4)
