@@ -56,3 +56,29 @@ def test_odd_dims_cropped(tmp_path):
     path = os.path.join(tmp_path, "odd.y4m")
     write_y4m(path, frames, fps=5)
     assert open(path, "rb").read().startswith(b"YUV4MPEG2 W8 H6")
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native toolchain")
+def test_native_gif_roundtrip(tmp_path):
+    """The native GIF89a encoder's output decodes with PIL (independent
+    decoder) frame-for-frame, within palette-quantization error."""
+    from PIL import Image, ImageSequence
+
+    from vdpp_tpu.utils.native import write_gif_native
+
+    rng = np.random.default_rng(3)
+    f, h, w = 5, 32, 48
+    frames = (rng.random((f, h, w, 3)) * 255).astype(np.uint8)
+    # structured content so palette quality matters
+    frames[:, 8:16, 8:24] = [250, 30, 90]
+    path = os.path.join(tmp_path, "anim.gif")
+    assert write_gif_native(path, frames, fps=10) == path
+
+    im = Image.open(path)
+    decoded = [
+        np.asarray(fr.convert("RGB")) for fr in ImageSequence.Iterator(im)
+    ]
+    assert len(decoded) == f
+    assert decoded[0].shape == (h, w, 3)
+    err = np.abs(np.stack(decoded).astype(int) - frames.astype(int)).mean()
+    assert err < 20, err  # random noise quantizes worst-case; bounded

@@ -54,6 +54,12 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int,
             ]
+            if hasattr(lib, "vdpp_write_gif"):  # older cached builds lack it
+                lib.vdpp_write_gif.restype = ctypes.c_int
+                lib.vdpp_write_gif.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
             _lib = lib
         except OSError as e:
             LOGGER.debug("native load failed: %s", e)
@@ -80,6 +86,26 @@ def _rgb_to_yuv420_numpy(frame: np.ndarray) -> np.ndarray:
          np.clip(v + 0.5, 0, 255).astype(np.uint8).ravel()]
     )
     return out
+
+
+def write_gif_native(path: str, frames_uint8: np.ndarray, fps: int = 7) -> str | None:
+    """Write (F, H, W, 3) uint8 frames as an animated GIF via the native
+    encoder (median-cut palette + parallel LZW). Returns None when the
+    native library is unavailable (caller falls back to imageio)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vdpp_write_gif"):
+        return None
+    frames_uint8 = np.ascontiguousarray(frames_uint8, np.uint8)
+    f, h, w, _ = frames_uint8.shape
+    rc = lib.vdpp_write_gif(
+        path.encode(),
+        frames_uint8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        f, h, w, int(fps),
+    )
+    if rc != 0:
+        LOGGER.warning("native gif writer failed rc=%d; imageio fallback", rc)
+        return None
+    return path
 
 
 def write_y4m(path: str, frames_uint8: np.ndarray, fps: int = 7) -> str:

@@ -64,6 +64,11 @@ def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
 
 def save_video_gif(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    from vdpp_tpu.utils.native import write_gif_native
+
+    if write_gif_native(path, frames_uint8, fps=fps):
+        LOGGER.info("wrote %s (%d frames, native encoder)", path, len(frames_uint8))
+        return path
     import imageio.v3 as iio
 
     iio.imwrite(path, frames_uint8, duration=int(1000 / fps), loop=0)
