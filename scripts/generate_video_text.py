@@ -70,15 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def hash_tokenize(prompt: str, vocab_size: int, max_tokens: int):
-    """Deterministic placeholder tokenizer for random-weight runs: one
-    token per whitespace word, hashed into the vocab (id 0 reserved)."""
-    import hashlib
+    """Deterministic placeholder tokenizer (vdpp_tpu.models.t5_encoder)."""
+    from vdpp_tpu.models.t5_encoder import hash_tokenize as ht
 
-    ids = [
-        int(hashlib.sha256(w.encode()).hexdigest(), 16) % (vocab_size - 2) + 1
-        for w in prompt.split()[:max_tokens - 1]
-    ]
-    return ids + [vocab_size - 1]  # EOS-like terminator
+    return ht(prompt, vocab_size, max_tokens)
 
 
 def main(argv=None) -> int:

@@ -131,3 +131,59 @@ def test_unknown_path_404(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 404
     assert raised
+
+
+@pytest.fixture(scope="module")
+def server_text():
+    """The T5-text-conditioned DiT serving engine (--model dit3d)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "vdpp_tpu.modes.serve", "--model", "dit3d",
+            "--preset", "tiny", "--backend", "cpu", "--num-stages", "2",
+            "--steps", "4", "--num-frames", "2", "--latent-hw", "8", "8",
+            "--guidance-scale", "5.0", "--port", str(port),
+        ],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 420
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read()
+            raise RuntimeError(f"text server died:\n{out[-3000:]}")
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            time.sleep(2)
+    else:
+        proc.kill()
+        pytest.skip("text server warm-up exceeded deadline on this host")
+    yield base
+    proc.kill()
+    proc.wait(timeout=30)
+
+
+def test_generate_from_prompt(server_text):
+    def fetch(prompt, seed=5):
+        req = urllib.request.Request(
+            server_text + "/generate",
+            data=json.dumps(
+                {"seed": seed, "prompt": prompt, "format": "y4m"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.read()
+
+    a = fetch("a red panda")
+    b = fetch("a red panda")
+    c = fetch("a blue whale")
+    assert a.startswith(b"YUV4MPEG2")
+    assert a == b       # same prompt + seed -> same video
+    assert a != c       # the prompt conditions the DiT

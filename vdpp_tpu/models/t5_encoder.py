@@ -75,6 +75,20 @@ class _Keys:
         return jax.random.fold_in(self._key, self._n)
 
 
+def hash_tokenize(prompt: str, vocab_size: int, max_tokens: int = 64) -> list[int]:
+    """Deterministic placeholder tokenizer for random-weight runs: one
+    token per whitespace word, hashed into the vocab (id 0 reserved;
+    terminated by the top id as an EOS stand-in). Real T5 tokenization
+    needs the sentencepiece vocab that ships with a checkpoint."""
+    import hashlib
+
+    ids = [
+        int(hashlib.sha256(w.encode()).hexdigest(), 16) % (vocab_size - 2) + 1
+        for w in prompt.split()[: max_tokens - 1]
+    ]
+    return ids + [vocab_size - 1]
+
+
 def relative_position_buckets(
     q_len: int, k_len: int, num_buckets: int, max_distance: int
 ) -> jax.Array:

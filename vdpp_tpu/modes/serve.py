@@ -9,9 +9,14 @@ later. VAE decode happens outside the stream, overlapping the next
 request's denoising.
 
     POST /generate  {"seed": 42, "num_frames": 4, "guidance_scale": 3.0,
-                     "format": "y4m"|"gif"}
-        -> video bytes (y4m via the native C++ packer, or gif)
+                     "prompt": "...", "format": "y4m"|"gif"}
+        -> video bytes (y4m/gif via the native C++ packer)
     GET  /healthz   -> {"status": "ok", ...}
+
+``--model svd`` (default) serves the image-conditioned SVD UNet;
+``--model dit3d`` serves the T5-text-conditioned joint-3D DiT — the
+"prompt" field selects the conditioning (requests with the same
+(prompt, frames, guidance) share one filled pipeline).
 
 Example:
     python -m vdpp_tpu.modes.serve --preset tiny --backend cpu \
@@ -36,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
-    p.add_argument("--preset", default="tiny", choices=["svd_xt", "tiny"])
+    p.add_argument("--model", default="svd", choices=["svd", "dit3d"])
+    p.add_argument("--preset", default="tiny", choices=["svd_xt", "full", "tiny"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--steps", type=int, default=8)
@@ -68,19 +74,37 @@ class _Engine:
         self.jnp = jnp
         self.args = args
         tiny = args.preset == "tiny"
-        self.unet_cfg = SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
+        self.is_dit = args.model == "dit3d"
         self.vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.svd()
 
-        self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps)
+        if self.is_dit:
+            import dataclasses
+
+            from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
+            from vdpp_tpu.models.t5_encoder import T5EncoderConfig, T5TextEncoder
+
+            self.t5_cfg = T5EncoderConfig.tiny() if tiny else T5EncoderConfig.xxl()
+            dit_cfg = dataclasses.replace(
+                DiTVideoConfig.joint3d_tiny() if tiny
+                else DiTVideoConfig.joint3d_xl(),
+                cross_attention_dim=self.t5_cfg.d_model,
+            )
+            self.model = DiTVideoWrapper(dit_cfg, num_steps=args.steps)
+            self.t5 = T5TextEncoder(self.t5_cfg)
+            self.t5_params = jax.jit(self.t5.init)(jax.random.key(args.seed + 3))
+        else:
+            self.unet_cfg = (
+                SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
+            )
+            self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps)
         self.vae_dec = TemporalVAEDecoder(self.vae_cfg)
         if args.checkpoint:
             import os
 
             from vdpp_tpu.utils.weights import load_params
 
-            self.params = load_params(
-                os.path.join(args.checkpoint, "unet.npz"), dtype=self.unet_cfg.dtype
-            )
+            name = "dit.npz" if self.is_dit else "unet.npz"
+            self.params = load_params(os.path.join(args.checkpoint, name))
             self.vae_params = load_params(
                 os.path.join(args.checkpoint, "vae_decoder.npz")
             )
@@ -97,35 +121,69 @@ class _Engine:
         )
         self.lock = threading.Lock()  # stream creation + counters
         self.requests_served = 0
-        self._streams: dict = {}  # (num_frames, guidance) -> PipelineStream
-        LOGGER.info("engine ready: %d stages, %d steps", self.stages, args.steps)
+        self._streams: dict = {}  # conditioning key -> PipelineStream
+        self._ctx_cache: dict = {}  # prompt -> T5 tokens context
+        LOGGER.info(
+            "engine ready: %s, %d stages, %d steps",
+            args.model, self.stages, args.steps,
+        )
 
-    def _get_stream(self, num_frames: int, guidance: float | None):
-        """One PipelineStream per (frames, guidance) config; requests with
-        the same config share its filled pipeline."""
+    def _text_context(self, prompt: str):
+        """T5-encode a prompt (hash tokenizer without a checkpoint vocab);
+        cached per prompt."""
+        with self.lock:
+            if prompt in self._ctx_cache:
+                return self._ctx_cache[prompt]
+        from vdpp_tpu.models.t5_encoder import hash_tokenize
+
+        ids = self.jnp.asarray(
+            [hash_tokenize(prompt, self.t5_cfg.vocab_size, 64)], self.jnp.int32
+        )
+        ctx = self.jax.block_until_ready(
+            self.t5.apply(self.t5_params, ids)
+        ).astype(self.jnp.float32)
+        with self.lock:
+            self._ctx_cache[prompt] = ctx
+        return ctx
+
+    def _get_stream(self, num_frames: int, guidance: float | None,
+                    prompt: str | None):
+        """One PipelineStream per conditioning config; requests with the
+        same config share its filled pipeline."""
         jax, jnp = self.jax, self.jnp
         args = self.args
         h, w = args.latent_hw
-        key = (num_frames, guidance)
+        key = (num_frames, guidance, prompt if self.is_dit else None)
         with self.lock:
-            if key not in self._streams:
-                from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
+            if key in self._streams:
+                return self._streams[key]
+        if self.is_dit:
+            from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
 
-                cond = make_dummy_conditioning(
-                    jax.random.key(args.seed + 2), 1, num_frames, h, w,
-                    cross_dim=self.unet_cfg.cross_attention_dim,
-                    guidance_scale=guidance,
-                )
-                self._streams[key] = self.pipe.stream(
-                    (self.params, cond), (1, num_frames, h, w, 4), jnp.float32
-                )
-            return self._streams[key]
+            ctx = self._text_context(prompt or "")
+            bundle = (self.params, ctx, make_guidance_ramp(guidance, num_frames))
+        else:
+            from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
 
-    def generate(self, seed: int, num_frames: int, guidance: float | None):
+            cond = make_dummy_conditioning(
+                jax.random.key(args.seed + 2), 1, num_frames, h, w,
+                cross_dim=self.unet_cfg.cross_attention_dim,
+                guidance_scale=guidance,
+            )
+            bundle = (self.params, cond)
+        stream = self.pipe.stream(bundle, (1, num_frames, h, w, 4), jnp.float32)
+        with self.lock:
+            winner = self._streams.setdefault(key, stream)
+        if winner is not stream:  # lost a concurrent creation race
+            stream.close()
+        return winner
+
+    def generate(self, seed: int, num_frames: int, guidance: float | None,
+                 prompt: str | None = None):
         jax = self.jax
         args = self.args
         h, w = args.latent_hw
-        stream = self._get_stream(num_frames, guidance)
+        stream = self._get_stream(num_frames, guidance, prompt)
         noise = (
             jax.random.normal(jax.random.key(seed), (1, num_frames, h, w, 4))
             * self.model.init_noise_sigma
@@ -183,8 +241,9 @@ def _make_handler(engine: _Engine, fps: int):
                 seed = int(req.get("seed", 0))
                 frames = int(req.get("num_frames", engine.args.num_frames))
                 guidance = req.get("guidance_scale", engine.args.guidance_scale)
+                prompt = req.get("prompt")
                 fmt = req.get("format", "gif")
-                video, elapsed = engine.generate(seed, frames, guidance)
+                video, elapsed = engine.generate(seed, frames, guidance, prompt)
                 frames_u8 = frames_to_uint8(np.asarray(video))
                 if fmt == "y4m":
                     import tempfile
@@ -194,12 +253,21 @@ def _make_handler(engine: _Engine, fps: int):
                         data = open(f.name, "rb").read()
                     ctype = "video/x-yuv4mpeg"
                 else:
-                    import imageio.v3 as iio
+                    from vdpp_tpu.utils.native import write_gif_native
 
-                    buf = io.BytesIO()
-                    iio.imwrite(buf, frames_u8, extension=".gif",
-                                duration=int(1000 / fps), loop=0)
-                    data = buf.getvalue()
+                    data = None
+                    import tempfile
+
+                    with tempfile.NamedTemporaryFile(suffix=".gif") as f:
+                        if write_gif_native(f.name, frames_u8, fps=fps):
+                            data = open(f.name, "rb").read()
+                    if data is None:  # no native toolchain
+                        import imageio.v3 as iio
+
+                        buf = io.BytesIO()
+                        iio.imwrite(buf, frames_u8, extension=".gif",
+                                    duration=int(1000 / fps), loop=0)
+                        data = buf.getvalue()
                     ctype = "image/gif"
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
