@@ -54,6 +54,7 @@ def _aug_width(d: int) -> int:
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr,
     *, kv_valid: int, bk_major: int, bk: int, need_mask: bool, head_dim: int,
+    exp_bf16: bool = False,
 ):
     ki_major = pl.program_id(2)
     nk_major = pl.num_programs(2)
@@ -83,7 +84,12 @@ def _flash_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
+        if exp_bf16:
+            # Experimental: bf16 exponent pass (softmax precision drops to
+            # ~3 decimal digits; perf experiment only — see VDPP_FLASH_EXP).
+            p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(s - m_new)
 
         # PV on the MXU; v is ones-augmented so column ``head_dim`` of the
         # accumulator is the softmax denominator l.
@@ -152,6 +158,8 @@ def _flash_bhld(
     # column would otherwise count them in l, so mask whenever padded.
     need_mask = lk_p != lk
 
+    import os
+
     kernel = functools.partial(
         _flash_kernel,
         kv_valid=lk,
@@ -159,6 +167,7 @@ def _flash_bhld(
         bk=block_k,
         need_mask=need_mask,
         head_dim=d,
+        exp_bf16=os.environ.get("VDPP_FLASH_EXP") == "bf16",
     )
     out = pl.pallas_call(
         kernel,
