@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cfg-parallel", action="store_true",
+                   help="run the uncond/cond CFG branches concurrently on a "
+                        "size-2 'cfg' mesh axis inside every stage (needs "
+                        "--guidance-scale; uses 2x the devices per stage)")
     p.add_argument("--ticked", action="store_true",
                    help="host-stepped schedule with per-tick timing")
     p.add_argument("--pad-schedule", action="store_true",
@@ -69,7 +73,16 @@ def main(argv=None) -> int:
 
     b, c, f, h, w = args.latent_shape
     config = SVDUNetConfig.tiny() if args.preset == "tiny" else SVDUNetConfig.svd_xt()
-    mesh = make_pipeline_mesh(args.num_stages)
+    if args.cfg_parallel:
+        if args.guidance_scale is None:
+            raise SystemExit("--cfg-parallel needs --guidance-scale")
+        from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+        if args.num_stages is None:
+            args.num_stages = len(jax.devices()) // 2
+        mesh = make_axes_mesh(stage=args.num_stages, cfg=2)
+    else:
+        mesh = make_pipeline_mesh(args.num_stages)
     stages = mesh.shape["stage"]
 
     LOGGER.info(
@@ -107,7 +120,7 @@ def main(argv=None) -> int:
         noise_aug_strength=args.noise_aug_strength,
     )
     bundle = (params, cond)
-    step_fn = model.pipeline_step_fn()
+    step_fn = model.pipeline_step_fn(cfg_axis="cfg" if args.cfg_parallel else None)
 
     # Per-sample seeded noise x init_noise_sigma
     # (reference: src/modes/production.py:127-132).
