@@ -24,12 +24,17 @@ def main():
     ap.add_argument("--heads", type=int, default=5)
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sections", default="pallas,official,splash,xla",
+                    help="comma list of kernel families to run")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from vdpp_tpu.ops.flash_attention import flash_attention
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     b, l, h, d = args.b, args.l, args.heads, args.d
     dt = jnp.bfloat16
@@ -63,15 +68,19 @@ def main():
     print(f"shape: B={b} L={l} H={h} D={d}, attention core {flops/1e9:.0f} GFLOPs",
           flush=True)
 
-    for bq, bkm, bk in [(512, 1536, 512), (512, 4608, 512), (512, 512, 512),
+    sections = set(args.sections.split(","))
+    for bq, bkm, bk in ([(512, 1536, 512), (512, 4608, 512), (512, 512, 512),
                         (1024, 1536, 512), (512, 2304, 768), (256, 1536, 512),
-                        (512, 9216, 512), (512, 1536, 1536)]:
+                        (512, 9216, 512), (512, 1536, 1536)]
+                       if "pallas" in sections else []):
         f = jax.jit(lambda q=q, k=k, v=v, bq=bq, bkm=bkm, bk=bk: flash_attention(
             q, k, v, block_q=bq, block_k_major=bkm, block_k=bk))
         bench(f"pallas {bq}/{bkm}/{bk}", f)
 
     # Official JAX pallas flash kernel (batch, heads, seq, d) layout.
     try:
+        if "official" not in sections:
+            raise ImportError("skipped by --sections")
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention as jax_flash, BlockSizes)
 
@@ -85,6 +94,36 @@ def main():
             bench(f"jax-official {bq}/{bkm}/{bk}", f)
     except ImportError as e:
         print("official kernel unavailable:", e)
+
+    # Splash attention (the newer official TPU kernel family; MaxText's
+    # production choice). Per-example layout is (H, L, D); vmap over B.
+    # The kernel applies no sm_scale — fold it into q.
+    try:
+        if "splash" not in sections:
+            raise ImportError("skipped by --sections")
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+            splash_attention_mask as sm,
+        )
+
+        qh = q.transpose(0, 2, 1, 3) * (1.0 / (args.d ** 0.5))
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        mask = sm.MultiHeadMask(
+            [sm.FullMask((l, l)) for _ in range(h)]
+        )
+        for bq, bkv, bkvc in [(512, 1536, 512), (512, 512, 512),
+                              (1024, 1536, 512), (512, 1536, 1536),
+                              (1024, 3072, 1024), (2048, 2048, 512)]:
+            bs = sk.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkvc)
+            kern = sk.make_splash_mha(
+                mask=mask, block_sizes=bs, head_shards=1, q_seq_shards=1
+            )
+            f = jax.jit(lambda qh=qh, kh=kh, vh=vh, kern=kern: jax.vmap(kern)(
+                qh, kh, vh))
+            bench(f"splash {bq}/{bkv}/{bkvc}", f)
+    except Exception as e:  # pragma: no cover - availability probe
+        print("splash kernel unavailable:", type(e).__name__, str(e)[:120])
 
     # XLA fused attention reference (scores materialized per call) —
     # chunk the batch to keep the score tensor in memory.
@@ -101,8 +140,9 @@ def main():
             return jnp.concatenate(outs, 0)
         return jax.jit(run)
 
-    bench("xla chunk=2", xla_chunked(2))
-    bench("xla chunk=7", xla_chunked(7))
+    if "xla" in sections:
+        bench("xla chunk=2", xla_chunked(2))
+        bench("xla chunk=7", xla_chunked(7))
 
 
 if __name__ == "__main__":

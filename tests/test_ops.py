@@ -242,3 +242,64 @@ def test_frame_attention_kernel_matches_einsum():
     w = jax.nn.softmax(logits, axis=-1)
     ref = jnp.einsum("blhfg,bglhd->bflhd", w, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_qkv_projection_is_exact(monkeypatch):
+    """VDPP_FUSE_QKV folds the three self-attention projections into one
+    matmul; the output columns are the same contractions, so the result
+    must be bit-identical, for both biasless (diffusers Attention) and
+    biased (CLIP-style) parameterizations, self- and temporal attention."""
+    from vdpp_tpu.ops.attention import temporal_self_attention
+
+    b, l, c, heads = 2, 24, 32, 4
+    x = jax.random.normal(jax.random.key(0), (b, l, c), jnp.float32)
+    for qkv_bias in (False, True):
+        params = init_attention(jax.random.key(1), c, heads, qkv_bias=qkv_bias)
+        monkeypatch.setenv("VDPP_FUSE_QKV", "1")
+        fused = attention(x, params, heads, use_flash=False)
+        tfused = temporal_self_attention(params, x, heads, batch=1, frames=b)
+        monkeypatch.setenv("VDPP_FUSE_QKV", "0")
+        plain = attention(x, params, heads, use_flash=False)
+        tplain = temporal_self_attention(params, x, heads, batch=1, frames=b)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(plain))
+        np.testing.assert_array_equal(np.asarray(tfused), np.asarray(tplain))
+
+
+def test_fused_qkv_skips_int8_params(monkeypatch):
+    """int8 weight-only params keep per-projection scales; the fused path
+    must fall back rather than concatenate incompatible quant dicts."""
+    from vdpp_tpu.ops.quant import quantize_tree
+
+    b, l, c, heads = 1, 16, 32, 4
+    x = jax.random.normal(jax.random.key(0), (b, l, c), jnp.float32)
+    params = init_attention(jax.random.key(1), c, heads)
+    qparams = quantize_tree(params, min_size=0)
+    monkeypatch.setenv("VDPP_FUSE_QKV", "1")
+    got = attention(x, qparams, heads, use_flash=False)
+    monkeypatch.setenv("VDPP_FUSE_QKV", "0")
+    ref = attention(x, qparams, heads, use_flash=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_splash_attention_matches_xla(monkeypatch):
+    """VDPP_ATTN_IMPL=splash must agree with the XLA sdpa reference at a
+    tileable length, through the public attention() entry point."""
+    b, l, c, heads = 1, 512, 64, 2
+    x = jax.random.normal(jax.random.key(0), (b, l, c), jnp.float32)
+    params = init_attention(jax.random.key(1), c, heads)
+    monkeypatch.setenv("VDPP_ATTN_IMPL", "splash")
+    monkeypatch.setenv("VDPP_FLASH_MIN_L", "256")
+    got = attention(x, params, heads)
+    monkeypatch.setenv("VDPP_ATTN_IMPL", "xla")
+    ref = attention(x, params, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_splash_attention_untileable_falls_back():
+    """Lengths the splash blocks cannot divide must route to the
+    first-party kernel (same result either way)."""
+    from vdpp_tpu.ops.splash_attention import splash_supported
+
+    assert splash_supported(9216, 9216)
+    assert splash_supported(2304, 2304)
+    assert not splash_supported(576, 576)

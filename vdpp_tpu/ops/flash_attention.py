@@ -204,8 +204,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_blocks(lq: int, lk: int, block_q: int, block_k_major: int, block_k: int):
     """Clamp requested blocks to the 128-rounded sequence lengths (avoids
-    gross padding when a block exceeds the sequence)."""
+    gross padding when a block exceeds the sequence), then halve the q
+    block while that strictly reduces q padding (floor 512): large q
+    blocks win only when they tile the sequence about as cleanly — e.g.
+    1536 stays 1536 at L=9216 (6 clean blocks) but drops to 768 at
+    L=2304 (3 clean blocks instead of 2 blocks with 768 padded rows)."""
     bq = min(block_q, _round_up(lq, 128))
+
+    def pad(b: int) -> int:
+        return -lq % b
+
+    while bq > 512 and pad(bq // 2) < pad(bq):
+        bq //= 2
     bkm = min(block_k_major, _round_up(lk, 128))
     bk = min(block_k, bkm)
     if bkm % bk != 0:
@@ -217,11 +227,16 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = 512,
+    block_q: int = 1536,
     block_k_major: int = 1536,
     block_k: int = 1536,
 ) -> jax.Array:
     """Flash attention over (B, L, H, D) tensors (non-causal, no mask).
+
+    Default blocks are the measured v5e optimum at the dominant SVD site
+    (L=9216: 1536/1536/1536 = 45.1 ms / 33.7 TFLOP/s vs 48.5 ms for the
+    previous 512-row q block; scripts/bench_attention.py 2026-08-16);
+    ``_pick_blocks`` shrinks the q block at lengths it would pad badly.
 
     Falls back to interpret mode off-TPU so the same code path is exercised
     by the CPU-mesh tests.
