@@ -160,3 +160,35 @@ def test_schedule_invariance_matrix(model_and_params, total_steps, num_stages,
     )
     out = pipe.run(params, inputs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_multislice_mesh_layout_and_equality(model_and_params):
+    """make_multislice_mesh puts data (DCN) as the leading axis and stage
+    (ICI) inside each slice row; the pipeline result on that layout equals
+    the single-device oracle. On the CPU platform the topology is
+    simulated by splitting the flat device list."""
+    from vdpp_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS, make_multislice_mesh
+
+    model, params = model_and_params
+    step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
+    mesh = make_multislice_mesh(num_slices=2)
+    assert mesh.axis_names == (DATA_AXIS, STAGE_AXIS)
+    assert mesh.shape[DATA_AXIS] == 2 and mesh.shape[STAGE_AXIS] == 4
+
+    pipe = StepPipeline(
+        mesh, step_fn, PipelineConfig(total_steps=TOTAL_STEPS, num_stages=4)
+    )
+    assert pipe.data_parallel_size == 2
+    inputs = jax.random.normal(jax.random.key(21), (4, *LATENT), jnp.float32)
+    ref = run_reference_single_device(step_fn, params, inputs, TOTAL_STEPS)
+    out = pipe.run(params, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_multislice_mesh_validation():
+    from vdpp_tpu.parallel.mesh import make_multislice_mesh
+
+    with pytest.raises(ValueError, match="num_slices"):
+        make_multislice_mesh()  # single-slice platform needs explicit split
+    with pytest.raises(ValueError, match="devices"):
+        make_multislice_mesh(num_slices=4, stages_per_slice=4)

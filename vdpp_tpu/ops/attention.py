@@ -65,14 +65,17 @@ def init_attention(
 
 
 def _fuse_qkv() -> bool:
-    """Fuse the three self-attention qkv projections into one matmul.
+    """Fuse the three self-attention qkv projections into one matmul
+    (``VDPP_FUSE_QKV=1``). Numerically identical (the concatenated
+    weight's output columns are the same contractions).
 
-    Numerically identical (the concatenated weight's output columns are
-    the same contractions); saves two HBM reads of the activation and two
-    dispatches per self-attention site. VDPP_FUSE_QKV=0 restores the
-    per-projection form.
+    Default OFF: measured a wash on the real v5e UNet forward (529.1 ms
+    split vs 532.7 ms fused at 14f/72x128 — the in-jit concat of the
+    three weight matrices costs what the saved activation reads buy;
+    XLA already overlaps the three dispatches). Negative result kept as
+    a knob for other architectures/hardware.
     """
-    return os.environ.get("VDPP_FUSE_QKV", "1") == "1"
+    return os.environ.get("VDPP_FUSE_QKV", "0") == "1"
 
 
 def _qkv_fused(x: jax.Array, params: dict) -> tuple | None:

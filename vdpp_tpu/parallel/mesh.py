@@ -127,3 +127,60 @@ def make_stage_seq_mesh(
         raise ValueError(f"Need {need} devices, have {len(devices)}.")
     arr = np.array(devices[:need]).reshape(num_stages, num_seq)
     return Mesh(arr, (STAGE_AXIS, SEQ_AXIS))
+
+
+def make_multislice_mesh(
+    num_slices: int | None = None,
+    stages_per_slice: int | None = None,
+    backend: str | None = None,
+) -> Mesh:
+    """(data, stage) mesh laid out for multi-slice TPU pods: the data axis
+    crosses slice (DCN) boundaries, the stage axis stays inside a slice.
+
+    The step pipeline's per-tick latent hand-off is a ``ppermute`` along
+    the stage axis, so with this layout every per-step transfer rides
+    ICI; the slow DCN links only carry the embarrassingly-parallel sample
+    distribution (zero per-step traffic) — the collective-placement rule
+    for multi-slice topologies. The reference is explicitly single-node
+    (reference: docs/context.md:99-105); this constructor is the
+    scale-out extension its NCCL design never reaches.
+
+    On real multi-slice hardware, devices are grouped by their
+    ``slice_index`` so each mesh row is one physical slice. On a
+    single-slice or CPU platform, pass ``num_slices`` explicitly to
+    simulate the topology by splitting the flat device list (the virtual
+    8-device CPU mesh tests do this).
+    """
+    devices = available_devices(backend)
+    groups: dict[int, list[jax.Device]] = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
+
+    if len(groups) > 1:
+        # Real multi-slice topology: one mesh row per physical slice.
+        rows = [groups[k] for k in sorted(groups)]
+        if num_slices is not None:
+            rows = rows[:num_slices]
+        width = min(len(r) for r in rows)
+        if stages_per_slice is not None:
+            if stages_per_slice > width:
+                raise ValueError(
+                    f"stages_per_slice {stages_per_slice} exceeds the "
+                    f"smallest slice width {width}"
+                )
+            width = stages_per_slice
+        arr = np.array([r[:width] for r in rows])
+    else:
+        # Single slice (or simulation): split the flat device list.
+        if num_slices is None:
+            raise ValueError(
+                "single-slice platform: pass num_slices to simulate a "
+                "multi-slice layout"
+            )
+        if stages_per_slice is None:
+            stages_per_slice = len(devices) // num_slices
+        need = num_slices * stages_per_slice
+        if need > len(devices):
+            raise ValueError(f"Need {need} devices, have {len(devices)}.")
+        arr = np.array(devices[:need]).reshape(num_slices, stages_per_slice)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
