@@ -30,6 +30,9 @@ def server():
             sys.executable, "-m", "vdpp_tpu.modes.serve", "--preset", "tiny",
             "--backend", "cpu", "--num-stages", "2", "--steps", "4",
             "--num-frames", "2", "--latent-hw", "8", "8", "--port", str(port),
+            # decode decoupled onto a reserved device (device 2 of the
+            # 4-device virtual mesh) — covers the overlap path end-to-end
+            "--decode-devices", "1",
         ],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -72,6 +75,7 @@ def test_healthz(server):
         data = json.loads(r.read())
     assert data["status"] == "ok"
     assert data["stages"] == 2
+    assert data["decode_devices"] == 1
 
 
 def test_generate_gif(server):

@@ -6,7 +6,9 @@ shape — requests arriving over time keep the stage pipeline FILLED, so
 concurrent requests share one pipeline: a request submitted while another
 is in transit completes one tick after it, not a full pipeline-depth
 later. VAE decode happens outside the stream, overlapping the next
-request's denoising.
+request's denoising; with ``--decode-devices N`` decode additionally runs
+on its own reserved device subset (task decoupling), so pipeline ticks
+never queue behind decode work on the stage devices.
 
     POST /generate  {"seed": 42, "num_frames": 4, "guidance_scale": 3.0,
                      "prompt": "...", "format": "y4m"|"gif"}
@@ -50,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--latent-hw", type=int, nargs=2, default=[16, 16],
                    metavar=("H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--decode-devices", type=int, default=0,
+                   help="reserve this many devices (after the stage "
+                        "devices) for VAE decode, so pipeline ticks "
+                        "never queue behind decode work")
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
@@ -114,6 +120,27 @@ class _Engine:
 
         self.mesh = make_pipeline_mesh(args.num_stages)
         self.stages = self.mesh.shape["stage"]
+        self.decode_mesh = None
+        if args.decode_devices:
+            # Task decoupling: decode on devices the pipeline never uses,
+            # so a tick dispatched right after a decode does not queue
+            # behind it (the stream thread keeps ticking while decode
+            # runs). Chunk-parallel decode shards across the subset.
+            import numpy as np
+            from jax.sharding import Mesh
+
+            from vdpp_tpu.parallel.mesh import DATA_AXIS, available_devices
+
+            devs = available_devices(args.backend)
+            need = self.stages + args.decode_devices
+            if len(devs) < need:
+                raise ValueError(
+                    f"--decode-devices {args.decode_devices} needs "
+                    f"{need} devices total, have {len(devs)}"
+                )
+            self.decode_mesh = Mesh(
+                np.array(devs[self.stages : need]), (DATA_AXIS,)
+            )
         self.pipe = StepPipeline(
             self.mesh,
             self.model.pipeline_step_fn(),
@@ -192,9 +219,13 @@ class _Engine:
         # Denoise through the SHARED streaming pipeline; decode outside it
         # so the next request's denoising overlaps this one's decode.
         latents = stream.submit(noise).result(timeout=1800)
-        video = self.vae_dec.decode_chunked(
-            self.vae_params, latents / self.vae_cfg.scaling_factor
-        )
+        scaled = latents / self.vae_cfg.scaling_factor
+        if self.decode_mesh is not None:
+            video = self.vae_dec.decode_data_parallel(
+                self.vae_params, scaled, self.decode_mesh
+            )
+        else:
+            video = self.vae_dec.decode_chunked(self.vae_params, scaled)
         video = jax.block_until_ready(video)
         elapsed = time.perf_counter() - t0
         with self.lock:
@@ -226,6 +257,7 @@ def _make_handler(engine: _Engine, fps: int):
                     "status": "ok",
                     "stages": engine.stages,
                     "steps": engine.args.steps,
+                    "decode_devices": engine.args.decode_devices,
                     "requests_served": engine.requests_served,
                 })
             else:
