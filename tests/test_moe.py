@@ -1,0 +1,120 @@
+"""Mixture-of-Experts feed-forward + expert parallelism tests.
+
+Oracle bar (house rule): the expert-parallel result must equal the
+single-device computation elementwise — same as every other mesh axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vdpp_tpu.ops.moe import expert_param_spec, init_moe_ff, moe_ff
+
+DIM, EXPERTS, INNER = 16, 4, 32
+
+
+@pytest.fixture(scope="module")
+def moe_params():
+    return init_moe_ff(jax.random.key(0), DIM, EXPERTS, inner_dim=INNER)
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    return jax.random.normal(jax.random.key(1), (2, 12, DIM), jnp.float32)
+
+
+def test_moe_ff_matches_per_token_oracle(moe_params, tokens):
+    """Dense one-hot formulation == an explicit per-token route-and-run."""
+    got = np.asarray(moe_ff(moe_params, tokens, EXPERTS))
+
+    x = np.asarray(tokens)
+    gate = np.asarray(moe_params["gate"]["w"], np.float32)
+    w_in = np.asarray(moe_params["w_in"], np.float32)
+    b_in = np.asarray(moe_params["b_in"], np.float32)
+    w_out = np.asarray(moe_params["w_out"], np.float32)
+    b_out = np.asarray(moe_params["b_out"], np.float32)
+
+    def gelu(v):
+        return np.asarray(jax.nn.gelu(jnp.asarray(v), approximate=True))
+
+    ref = np.zeros_like(x)
+    for b in range(x.shape[0]):
+        for t in range(x.shape[1]):
+            logits = x[b, t] @ gate
+            probs = np.exp(logits - logits.max())
+            probs /= probs.sum()
+            e = int(np.argmax(probs))
+            h = gelu(x[b, t] @ w_in[e] + b_in[e])
+            ref[b, t] = probs[e] * (h @ w_out[e] + b_out[e])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_expert_parallel_equals_single_device(moe_params, tokens):
+    """Expert weights sharded over a 4-device axis + psum == unsharded."""
+    from vdpp_tpu.parallel.mesh import EXPERT_AXIS, available_devices
+
+    ref = np.asarray(moe_ff(moe_params, tokens, EXPERTS))
+    mesh = Mesh(np.array(available_devices()[:4]), (EXPERT_AXIS,))
+    spec = expert_param_spec({"moe": moe_params}, EXPERT_AXIS)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, x: moe_ff(p["moe"], x, EXPERTS, expert_axis=EXPERT_AXIS),
+            mesh=mesh,
+            in_specs=(spec, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(sharded({"moe": moe_params}, tokens))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_expert_param_spec_targets_expert_leaves(moe_params):
+    spec = expert_param_spec({"blocks": [{"moe": moe_params}]}, "expert")
+    blk = spec["blocks"][0]["moe"]
+    assert blk["w_in"] == P("expert") and blk["w_out"] == P("expert")
+    assert blk["b_in"] == P("expert") and blk["b_out"] == P("expert")
+    assert blk["gate"]["w"] == P()
+
+
+def test_dit_moe_pipeline_on_stage_x_expert_mesh():
+    """MoE joint-3D DiT through the step pipeline on a (stage, expert)
+    mesh: expert weights sharded, latent hand-off on the stage axis —
+    result equals the single-device all-steps oracle."""
+    from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
+    from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
+    from vdpp_tpu.parallel.mesh import EXPERT_AXIS, make_axes_mesh
+    from vdpp_tpu.parallel.pipeline import (
+        PipelineConfig,
+        StepPipeline,
+        run_reference_single_device,
+    )
+
+    frames, hw, steps, stages = 4, 8, 4, 2
+    wrapper = DiTVideoWrapper(DiTVideoConfig.moe_tiny(), num_steps=steps)
+    params = wrapper.init(jax.random.key(2))
+    ctx = jax.random.normal(jax.random.key(3), (1, 2, 16), jnp.float32)
+    bundle = (params, ctx, make_guidance_ramp(5.0, frames))
+    noise = (
+        jax.random.normal(jax.random.key(4), (2, 1, frames, hw, hw, 4), jnp.float32)
+        * wrapper.init_noise_sigma
+    )
+
+    ref = run_reference_single_device(
+        wrapper.pipeline_step_fn(), bundle, noise, steps
+    )
+
+    mesh = make_axes_mesh(stage=stages, expert=2)
+    pipe = StepPipeline(
+        mesh,
+        wrapper.pipeline_step_fn(expert_axis=EXPERT_AXIS),
+        PipelineConfig(total_steps=steps, num_stages=stages),
+        param_spec=(expert_param_spec(params, EXPERT_AXIS), P(), P()),
+    )
+    out = pipe.run(bundle, noise)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

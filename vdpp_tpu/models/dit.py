@@ -50,11 +50,15 @@ class DiTVideoConfig:
     mlp_ratio: float = 4.0
     cross_attention_dim: int | None = 1024
     attention_mode: str = "factorized"  # "factorized" | "joint3d"
+    num_experts: int = 0          # >0: MoE feed-forward (ops/moe.py)
+    moe_every: int = 2            # MoE in every moe_every-th eligible block
     dtype: jnp.dtype = jnp.bfloat16
 
     def __post_init__(self):
         if self.attention_mode not in ("factorized", "joint3d"):
             raise ValueError(f"unknown attention_mode {self.attention_mode!r}")
+        if self.num_experts < 0 or (self.num_experts and self.moe_every < 1):
+            raise ValueError("num_experts must be >= 0, moe_every >= 1")
 
     @classmethod
     def latte_xl(cls, dtype=jnp.bfloat16) -> "DiTVideoConfig":
@@ -75,6 +79,13 @@ class DiTVideoConfig:
         return cls(hidden_size=32, depth=4, num_heads=2, cross_attention_dim=16,
                    attention_mode="joint3d", dtype=dtype)
 
+    @classmethod
+    def moe_tiny(cls, num_experts=4, dtype=jnp.float32) -> "DiTVideoConfig":
+        """Tiny MoE joint-3D variant for the expert-parallelism tests."""
+        return cls(hidden_size=32, depth=4, num_heads=2, cross_attention_dim=16,
+                   attention_mode="joint3d", num_experts=num_experts,
+                   dtype=dtype)
+
 
 class _Keys:
     def __init__(self, key):
@@ -85,15 +96,26 @@ class _Keys:
         return jax.random.fold_in(self._key, self._n)
 
 
-def _init_block(kg, cfg: DiTVideoConfig, cross: bool) -> dict:
+def _init_block(kg, cfg: DiTVideoConfig, cross: bool, moe: bool = False) -> dict:
     d = cfg.hidden_size
     mlp = int(d * cfg.mlp_ratio)
+    if moe:
+        from vdpp_tpu.ops.moe import init_moe_ff
+
+        ff: dict = {
+            "moe": init_moe_ff(kg(), d, cfg.num_experts, inner_dim=mlp,
+                               dtype=cfg.dtype)
+        }
+    else:
+        ff = {
+            "mlp_in": init_linear(kg(), d, mlp, cfg.dtype),
+            "mlp_out": init_linear(kg(), mlp, d, cfg.dtype),
+        }
     p = {
         "norm1": init_layer_norm(d, cfg.dtype),
         "attn": init_attention(kg(), d, cfg.num_heads, dtype=cfg.dtype, qkv_bias=True),
         "norm2": init_layer_norm(d, cfg.dtype),
-        "mlp_in": init_linear(kg(), d, mlp, cfg.dtype),
-        "mlp_out": init_linear(kg(), mlp, d, cfg.dtype),
+        **ff,
         # adaLN(-Zero at train time): 6*(shift, scale, gate). True DiT
         # zero-init makes an *untrained* model the identity; for this
         # inference framework random init uses a small scale instead so
@@ -118,7 +140,8 @@ def _modulate(x, shift, scale):
 
 
 def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
-           heads: int, seq_axis: str | None = None) -> jax.Array:
+           heads: int, seq_axis: str | None = None,
+           expert_axis: str | None = None) -> jax.Array:
     """x: (B', L, D); c_emb: (B', D) conditioning embedding."""
     ada = linear(jax.nn.silu(c_emb.astype(jnp.float32)).astype(c_emb.dtype), p["ada"])
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(ada, 6, axis=-1)
@@ -128,9 +151,16 @@ def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
         h = layer_norm(x, p["norm_cross"])
         x = x + attention(h, p["cross_attn"], heads=heads, context=ctx)
     h = _modulate(layer_norm(x, p["norm2"]), sh2, sc2)
-    h = linear(h, p["mlp_in"])
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
-    x = x + g2[:, None, :] * linear(h, p["mlp_out"])
+    if "moe" in p:
+        from vdpp_tpu.ops.moe import moe_ff
+
+        num_experts = p["moe"]["gate"]["w"].shape[1]
+        x = x + g2[:, None, :] * moe_ff(p["moe"], h, num_experts,
+                                        expert_axis=expert_axis)
+    else:
+        h = linear(h, p["mlp_in"])
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+        x = x + g2[:, None, :] * linear(h, p["mlp_out"])
     return x
 
 
@@ -183,7 +213,16 @@ class DiTVideo:
             # joint3d: every block is a full spatio-temporal block with
             # cross-attention; factorized: alternate spatial/temporal.
             cross = True if cfg.attention_mode == "joint3d" else i % 2 == 0
-            params["blocks"].append(_init_block(kg, cfg, cross=cross))
+            # MoE feed-forward in every moe_every-th eligible block
+            # (spatial blocks only in factorized mode — _temporal_block
+            # keeps its dense FF).
+            eligible = cfg.attention_mode == "joint3d" or i % 2 == 0
+            moe = (
+                cfg.num_experts > 0
+                and eligible
+                and i % cfg.moe_every == cfg.moe_every - 1
+            )
+            params["blocks"].append(_init_block(kg, cfg, cross=cross, moe=moe))
         return params
 
     def apply(
@@ -194,6 +233,7 @@ class DiTVideo:
         context: jax.Array | None = None,
         seq_axis: str | None = None,
         seq_shards: int = 1,
+        expert_axis: str | None = None,
     ) -> jax.Array:
         """latent (B, F, H, W, C) -> (B, F, H, W, C_out).
 
@@ -269,7 +309,8 @@ class DiTVideo:
                 x = shard_tokens(x)
             ctx_b = context.astype(cfg.dtype) if context is not None else None
             for blk in params["blocks"]:
-                x = _block(blk, x, c_emb, ctx_b, cfg.num_heads, seq_axis=seq_axis)
+                x = _block(blk, x, c_emb, ctx_b, cfg.num_heads,
+                           seq_axis=seq_axis, expert_axis=expert_axis)
             # Head in the (B, L, D) layout (identical math to (B*F, N, D) —
             # the modulation is per batch element), then reassemble tokens.
             x = final_head(x, c_emb)
@@ -283,7 +324,8 @@ class DiTVideo:
             for i, blk in enumerate(params["blocks"]):
                 if i % 2 == 0:
                     # spatial: tokens within a frame
-                    x = _block(blk, x, c_f, ctx_f, cfg.num_heads, seq_axis=seq_axis)
+                    x = _block(blk, x, c_f, ctx_f, cfg.num_heads,
+                               seq_axis=seq_axis, expert_axis=expert_axis)
                 else:
                     # temporal: frame mixing in the resident layout (no
                     # physical (B*N, F, D) transpose — see _temporal_block).
@@ -332,7 +374,7 @@ class DiTVideoWrapper:
         return self.model.init(key)
 
     def step(self, params, latent, step_idx, context=None, guidance=None,
-             seq_axis=None, seq_shards=1, cfg_axis=None):
+             seq_axis=None, seq_shards=1, cfg_axis=None, expert_axis=None):
         sigmas = jnp.asarray(self.schedule.sigmas)
         step_idx = jnp.asarray(step_idx)
         sigma = sigmas[step_idx]
@@ -343,6 +385,7 @@ class DiTVideoWrapper:
             return self.model.apply(
                 params, scaled, timestep, ctx,
                 seq_axis=seq_axis, seq_shards=seq_shards,
+                expert_axis=expert_axis,
             )
 
         lat32 = latent.astype(jnp.float32)
@@ -369,20 +412,22 @@ class DiTVideoWrapper:
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
     def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1,
-                         cfg_axis: str | None = None):
+                         cfg_axis: str | None = None,
+                         expert_axis: str | None = None):
         """bundle = (params, context|None, guidance|None).
 
         ``seq_axis``/``seq_shards`` build a sequence-parallel step_fn;
-        ``cfg_axis`` a CFG-parallel one — for use inside a shard_map whose
-        mesh carries those axes. All three compose, e.g. a
-        (stage, seq, cfg) mesh runs the step pipeline where every stage is
-        a token-sharded group and every token group is an uncond/cond
-        pair: PP x SP x CFG in one jitted program."""
+        ``cfg_axis`` a CFG-parallel one; ``expert_axis`` an
+        expert-parallel one (MoE configs: expert weights sharded over the
+        axis, combined with one psum — pair with
+        ``StepPipeline(param_spec=expert_param_spec(...))``). All compose
+        inside one shard_map mesh, e.g. a (stage, seq, cfg) or
+        (stage, expert) mesh runs in one jitted program."""
 
         def step_fn(bundle, latent, step_idx):
             params, context, guidance = bundle
             return self.step(params, latent, step_idx, context, guidance,
                              seq_axis=seq_axis, seq_shards=seq_shards,
-                             cfg_axis=cfg_axis)
+                             cfg_axis=cfg_axis, expert_axis=expert_axis)
 
         return step_fn

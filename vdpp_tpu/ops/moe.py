@@ -1,0 +1,138 @@
+"""Mixture-of-Experts feed-forward with expert parallelism (top-1, dropless).
+
+The reference has no MoE (its model surface is diffusers' dense SVD
+UNet); this is a beyond-reference capability for MoE video-DiT variants,
+and the fifth composable mesh axis ("expert") next to stage/data/seq/cfg.
+
+Design (TPU-first, exact):
+
+* **top-1 gating, dropless**: every token is routed to its argmax expert
+  with the softmax probability as the combine weight — no capacity
+  factor, no token dropping, so the result is deterministic and
+  independent of the expert-axis size (oracle-equality testable, the
+  same bar as every other parallel axis in this framework).
+* **expert parallelism by weight sharding**: expert weight tensors carry
+  a leading ``(num_experts, ...)`` dimension sharded over the mesh axis
+  (``expert_param_spec`` builds the pytree of PartitionSpecs). Inside
+  ``shard_map`` each device computes only its local expert slice and the
+  partial outputs are combined with one ``psum`` over the axis — the
+  all-reduce rides ICI.
+* **static shapes**: routing uses a dense one-hot combine (einsum over
+  the local expert dimension) rather than ragged gathers — every shape
+  is static, so the whole layer jits into one fused XLA program. The
+  dense form computes each local expert over all tokens (masked), which
+  is the standard capacity-free TPU formulation; token-gather dispatch
+  is a future optimization, not a semantics change.
+
+Gate math in fp32 (house rule: softmax statistics in fp32).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vdpp_tpu.ops.linear import init_linear
+
+_EXPERT_LEAVES = ("w_in", "b_in", "w_out", "b_out")
+
+
+def init_moe_ff(
+    key: jax.Array,
+    dim: int,
+    num_experts: int,
+    inner_dim: int | None = None,
+    dtype=jnp.float32,
+) -> dict:
+    """Gate + per-expert MLP (gelu) parameters.
+
+    Expert tensors are stacked on a leading ``num_experts`` dimension so
+    a single PartitionSpec shards them across the expert mesh axis.
+    """
+    inner_dim = inner_dim or 4 * dim
+    kg, k1, k2 = jax.random.split(key, 3)
+    scale_in = 1.0 / jnp.sqrt(dim)
+    scale_out = 1.0 / jnp.sqrt(inner_dim)
+    return {
+        "gate": init_linear(kg, dim, num_experts, jnp.float32, use_bias=False),
+        "w_in": (
+            jax.random.normal(k1, (num_experts, dim, inner_dim), jnp.float32)
+            * scale_in
+        ).astype(dtype),
+        "b_in": jnp.zeros((num_experts, inner_dim), dtype),
+        "w_out": (
+            jax.random.normal(k2, (num_experts, inner_dim, dim), jnp.float32)
+            * scale_out
+        ).astype(dtype),
+        "b_out": jnp.zeros((num_experts, dim), dtype),
+    }
+
+
+def moe_ff(
+    params: dict,
+    x: jax.Array,
+    num_experts: int,
+    expert_axis: str | None = None,
+) -> jax.Array:
+    """(B, L, D) -> (B, L, D) top-1 MoE feed-forward.
+
+    Args:
+        num_experts: GLOBAL expert count (the gate width).
+        expert_axis: mesh axis name when called inside ``shard_map`` with
+            expert weights sharded on their leading dimension (the gate
+            stays replicated); None for the single-device dense form.
+    """
+    b, l, d = x.shape
+    # Replicated gate: every device routes identically.
+    logits = jnp.dot(
+        x.astype(jnp.float32), params["gate"]["w"].astype(jnp.float32)
+    )  # (B, L, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # (B, L, E): top-1 probability at the argmax column, 0 elsewhere.
+    # one_hot of argmax (not a ==max compare) so ties route to exactly
+    # one expert — deterministic across shardings.
+    combine = jax.nn.one_hot(
+        jnp.argmax(probs, axis=-1), num_experts, dtype=jnp.float32
+    ) * jnp.max(probs, axis=-1, keepdims=True)
+
+    w_in, b_in = params["w_in"], params["b_in"]
+    e_local = w_in.shape[0]
+    if expert_axis is not None:
+        # This shard owns experts [idx*e_local, (idx+1)*e_local).
+        off = jax.lax.axis_index(expert_axis) * e_local
+        combine = jax.lax.dynamic_slice_in_dim(combine, off, e_local, axis=2)
+    elif e_local != num_experts:
+        raise ValueError(
+            f"single-device call needs all {num_experts} experts, got {e_local}"
+        )
+
+    xd = x.astype(w_in.dtype)
+    h = jnp.einsum("bld,edi->ebli", xd, w_in, preferred_element_type=jnp.float32)
+    h = h + b_in[:, None, None, :].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True).astype(xd.dtype)
+    o = jnp.einsum(
+        "ebli,eid->ebld", h, params["w_out"], preferred_element_type=jnp.float32
+    )
+    o = o + params["b_out"][:, None, None, :].astype(jnp.float32)
+    out = jnp.einsum("ebld,ble->bld", o, combine.astype(jnp.float32))
+    if expert_axis is not None:
+        out = jax.lax.psum(out, expert_axis)
+    return out.astype(x.dtype)
+
+
+def expert_param_spec(params, expert_axis: str):
+    """PartitionSpec pytree for a params tree: expert-stacked leaves (the
+    ``w_in``/``b_in``/``w_out``/``b_out`` tensors directly under a
+    ``"moe"`` mapping) shard their leading dimension over ``expert_axis``;
+    everything else is replicated. Feed to ``StepPipeline(param_spec=...)``
+    or a ``shard_map`` in_spec."""
+    from jax.tree_util import tree_map_with_path
+
+    def spec(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "moe" in keys and keys[-1] in _EXPERT_LEAVES:
+            return P(expert_axis)
+        return P()
+
+    return tree_map_with_path(spec, params)

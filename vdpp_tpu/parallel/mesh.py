@@ -27,6 +27,7 @@ STAGE_AXIS = "stage"
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 CFG_AXIS = "cfg"
+EXPERT_AXIS = "expert"
 
 
 def available_devices(backend: str | None = None) -> list[jax.Device]:

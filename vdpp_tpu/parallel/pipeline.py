@@ -84,7 +84,18 @@ class StepPipeline:
     returns ``(N, *latent)`` finished latents, all inside one jit.
     """
 
-    def __init__(self, mesh: Mesh, step_fn: StepFn, config: PipelineConfig):
+    def __init__(
+        self,
+        mesh: Mesh,
+        step_fn: StepFn,
+        config: PipelineConfig,
+        param_spec=None,
+    ):
+        """``param_spec``: optional PartitionSpec pytree for the params
+        bundle (default fully replicated — the reference's full-copy-per-
+        rank design). A sharded spec enables e.g. expert parallelism
+        (ops/moe.py ``expert_param_spec``) where expert weights live split
+        across a mesh axis and the step_fn combines with collectives."""
         if STAGE_AXIS not in mesh.axis_names:
             raise ValueError(f"mesh must have a '{STAGE_AXIS}' axis")
         if mesh.shape[STAGE_AXIS] != config.num_stages:
@@ -95,6 +106,7 @@ class StepPipeline:
         self.mesh = mesh
         self.step_fn = step_fn
         self.config = config
+        self.param_spec = P() if param_spec is None else param_spec
         self._jitted: dict[tuple, Callable] = {}
 
     # ------------------------------------------------------------------ #
@@ -174,6 +186,7 @@ class StepPipeline:
 
         dp = self.data_parallel_size
         pspec_rep = P()  # fully replicated
+        param_spec = self.param_spec
         if has_data:
             # Leading axes: (stage, data-column). Each (s, d) device holds
             # its own latent slot / output buffer / sample shard.
@@ -188,7 +201,7 @@ class StepPipeline:
             sharded = jax.shard_map(
                 per_stage_2d,
                 mesh=mesh,
-                in_specs=(pspec_rep, inputs_spec, buf_spec, buf_spec),
+                in_specs=(param_spec, inputs_spec, buf_spec, buf_spec),
                 out_specs=buf_spec,
                 check_vma=False,
             )
@@ -208,7 +221,7 @@ class StepPipeline:
         sharded = jax.shard_map(
             per_stage,
             mesh=mesh,
-            in_specs=(pspec_rep, pspec_rep, buf_spec, buf_spec),
+            in_specs=(param_spec, pspec_rep, buf_spec, buf_spec),
             out_specs=buf_spec,
             check_vma=False,
         )
@@ -240,7 +253,7 @@ class StepPipeline:
         sharded = jax.shard_map(
             per_stage,
             mesh=mesh,
-            in_specs=(P(), P(), buf_spec, P()),
+            in_specs=(self.param_spec, P(), buf_spec, P()),
             out_specs=(buf_spec, buf_spec),
             check_vma=False,
         )
@@ -318,7 +331,7 @@ class StepPipeline:
         sharded = jax.shard_map(
             per_stage,
             mesh=mesh,
-            in_specs=(P(), P(), buf_spec),
+            in_specs=(self.param_spec, P(), buf_spec),
             out_specs=(buf_spec, buf_spec),
             check_vma=False,
         )
