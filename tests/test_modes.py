@@ -131,3 +131,29 @@ def test_benchmark_rejects_bad_split():
     ])
     assert r.returncode != 0
     assert "divisible" in (r.stderr + r.stdout)
+
+
+def test_benchmark_expert_parallel_contract():
+    """(stage x expert) mesh: MoE DiT with sharded expert weights through
+    the benchmark CLI."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "dit3d_moe_tiny", "--expert-parallel", "2",
+        "--guidance-scale", "5.0", "--num-stages", "2", "--total-steps", "4",
+        "--num-samples", "2", "--warmup-samples", "0",
+        "--latent-shape", "1", "4", "4", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = extract_benchmark_json(r.stdout)
+    assert data["mode"] == "pipeline_x_ep2"
+    assert data["world_size"] == 2  # expert axis is within-stage
+
+
+def test_benchmark_expert_parallel_needs_moe_model():
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "dit3d_tiny", "--expert-parallel", "2",
+        "--num-stages", "2", "--total-steps", "4",
+    ], timeout=600)
+    assert r.returncode != 0
+    assert "MoE" in (r.stderr + r.stdout)

@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="dummy",
                    choices=["dummy", "svd", "svd_tiny", "dit", "dit_tiny",
-                            "dit3d", "dit3d_tiny"])
+                            "dit3d", "dit3d_tiny", "dit3d_moe_tiny"])
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--total-steps", type=int, default=28)
     p.add_argument("--num-samples", type=int, default=4)
@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-parallel", type=int, default=1,
                    help="token-axis sharding width per stage (dit models): "
                         "a (stage, seq[, cfg]) mesh")
+    p.add_argument("--expert-parallel", type=int, default=1,
+                   help="expert-axis width per stage (MoE dit models): "
+                        "expert weights sharded over an 'expert' mesh axis "
+                        "(ops/moe.py)")
     p.add_argument("--weights-int8", action="store_true",
                    help="weight-only int8 quantization (halves parameter "
                         "HBM; ops/quant.py)")
@@ -77,6 +81,9 @@ def _build_model(args, config_dtype):
     cfg_parallel = getattr(args, "cfg_parallel", False)
     cfg_axis = "cfg" if cfg_parallel else None
     sp = getattr(args, "seq_parallel", 1)
+    ep = getattr(args, "expert_parallel", 1)
+    if ep > 1 and args.model != "dit3d_moe_tiny":
+        raise SystemExit("--expert-parallel needs an MoE model (dit3d_moe_tiny)")
     if cfg_parallel and args.guidance_scale is None:
         raise SystemExit("--cfg-parallel needs --guidance-scale (CFG active)")
     if args.model == "dummy":
@@ -102,6 +109,7 @@ def _build_model(args, config_dtype):
             "dit": DiTVideoConfig.latte_xl,
             "dit3d_tiny": DiTVideoConfig.joint3d_tiny,
             "dit3d": DiTVideoConfig.joint3d_xl,
+            "dit3d_moe_tiny": DiTVideoConfig.moe_tiny,
         }[args.model]()
         wrapper = DiTVideoWrapper(dcfg, num_steps=args.total_steps)
         params = jax.jit(wrapper.init)(jax.random.key(args.seed))
@@ -113,6 +121,7 @@ def _build_model(args, config_dtype):
             wrapper.pipeline_step_fn(
                 seq_axis="seq" if sp > 1 else None, seq_shards=sp,
                 cfg_axis=cfg_axis,
+                expert_axis="expert" if ep > 1 else None,
             ),
             (params, ctx, guidance),
             (b, f, h, w, dcfg.in_channels),
@@ -164,6 +173,9 @@ def main(argv=None) -> int:
     setup_logging(args.log_level)
     enable_persistent_cache()
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
+    if getattr(args, "weights_int8", False) and args.expert_parallel > 1:
+        raise SystemExit("--weights-int8 does not compose with "
+                         "--expert-parallel yet (expert weights stay bf16)")
     if getattr(args, "weights_int8", False):
         from vdpp_tpu.ops.quant import param_bytes, quantize_tree
 
@@ -200,10 +212,11 @@ def main(argv=None) -> int:
         dp = args.data_parallel_size
         sp = args.seq_parallel
         cfg_par = args.cfg_parallel
-        if dp > 1 and (sp > 1 or cfg_par):
+        ep = args.expert_parallel
+        if dp > 1 and (sp > 1 or cfg_par or ep > 1):
             raise SystemExit(
                 "--data-parallel-size composes with the stage axis only; "
-                "drop --seq-parallel/--cfg-parallel"
+                "drop --seq-parallel/--cfg-parallel/--expert-parallel"
             )
         if dp > 1:
             from vdpp_tpu.parallel.mesh import make_2d_mesh
@@ -219,10 +232,10 @@ def main(argv=None) -> int:
                     f"divisible by --data-parallel-size ({dp})"
                 )
             mesh = make_2d_mesh(args.num_stages, dp)
-        elif sp > 1 or cfg_par:
+        elif sp > 1 or cfg_par or ep > 1:
             from vdpp_tpu.parallel.mesh import make_axes_mesh
 
-            per_stage = sp * (2 if cfg_par else 1)
+            per_stage = sp * (2 if cfg_par else 1) * ep
             if args.num_stages is None:
                 args.num_stages = len(jax.devices()) // per_stage
             axes = {"stage": args.num_stages}
@@ -230,17 +243,32 @@ def main(argv=None) -> int:
                 axes["seq"] = sp
             if cfg_par:
                 axes["cfg"] = 2
+            if ep > 1:
+                axes["expert"] = ep
             mesh = make_axes_mesh(**axes)
         else:
             mesh = make_pipeline_mesh(args.num_stages)
         world = mesh.shape["stage"]
-        pipe = StepPipeline(mesh, step_fn, PipelineConfig(args.total_steps, world))
+        param_spec = None
+        if ep > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from vdpp_tpu.ops.moe import expert_param_spec
+
+            # bundle = (params, ctx, guidance): shard expert leaves only.
+            param_spec = (expert_param_spec(bundle[0], "expert"), P(), P())
+        pipe = StepPipeline(
+            mesh, step_fn, PipelineConfig(args.total_steps, world),
+            param_spec=param_spec,
+        )
         steps_per_device = args.total_steps // world
         mode = "pipeline" if dp == 1 else "pipeline_x_dp"
         if sp > 1:
             mode += f"_x_sp{sp}"
         if cfg_par:
             mode += "_x_cfg"
+        if ep > 1:
+            mode += f"_x_ep{ep}"
         if args.fused:
             # compile both shapes (the fill probe uses one sample per data
             # column so its N is divisible by dp)
