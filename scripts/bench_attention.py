@@ -69,9 +69,10 @@ def main():
           flush=True)
 
     sections = set(args.sections.split(","))
-    for bq, bkm, bk in ([(512, 1536, 512), (512, 4608, 512), (512, 512, 512),
-                        (1024, 1536, 512), (512, 2304, 768), (256, 1536, 512),
-                        (512, 9216, 512), (512, 1536, 1536)]
+    for bq, bkm, bk in ([(1536, 1536, 1536), (1024, 1536, 1536),
+                        (512, 1536, 1536), (512, 1536, 512),
+                        (1024, 1536, 512), (512, 512, 512),
+                        (1024, 4608, 1536)]
                        if "pallas" in sections else []):
         f = jax.jit(lambda q=q, k=k, v=v, bq=bq, bkm=bkm, bk=bk: flash_attention(
             q, k, v, block_q=bq, block_k_major=bkm, block_k=bk))

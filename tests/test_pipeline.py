@@ -192,3 +192,16 @@ def test_multislice_mesh_validation():
         make_multislice_mesh()  # single-slice platform needs explicit split
     with pytest.raises(ValueError, match="devices"):
         make_multislice_mesh(num_slices=4, stages_per_slice=4)
+
+
+def test_slice_rows_groups_by_slice_index():
+    """Real multi-slice grouping: rows by ascending slice_index, device
+    order preserved within a slice; attribute-less devices form one row."""
+    from types import SimpleNamespace
+
+    from vdpp_tpu.parallel.mesh import _slice_rows
+
+    d = [SimpleNamespace(id=i, slice_index=i // 3) for i in range(6)]
+    rows = _slice_rows([d[4], d[0], d[5], d[1], d[2], d[3]])
+    assert [[x.id for x in r] for r in rows] == [[0, 1, 2], [4, 5, 3]]
+    assert len(_slice_rows([SimpleNamespace(id=0), SimpleNamespace(id=1)])) == 1

@@ -130,6 +130,16 @@ def make_stage_seq_mesh(
     return Mesh(arr, (STAGE_AXIS, SEQ_AXIS))
 
 
+def _slice_rows(devices) -> list[list]:
+    """Group devices into per-slice rows by ``slice_index`` (devices
+    without the attribute — CPU, single-slice — form one row), slices in
+    ascending index order, device order preserved within a slice."""
+    groups: dict[int, list] = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
+    return [groups[k] for k in sorted(groups)]
+
+
 def make_multislice_mesh(
     num_slices: int | None = None,
     stages_per_slice: int | None = None,
@@ -153,13 +163,10 @@ def make_multislice_mesh(
     8-device CPU mesh tests do this).
     """
     devices = available_devices(backend)
-    groups: dict[int, list[jax.Device]] = {}
-    for d in devices:
-        groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
+    rows = _slice_rows(devices)
 
-    if len(groups) > 1:
+    if len(rows) > 1:
         # Real multi-slice topology: one mesh row per physical slice.
-        rows = [groups[k] for k in sorted(groups)]
         if num_slices is not None:
             rows = rows[:num_slices]
         width = min(len(r) for r in rows)
