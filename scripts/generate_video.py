@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--decode-chunk-frames", type=int, default=4)
+    p.add_argument("--decode-devices", type=int, default=0,
+                   help="reserve this many devices (after the stage "
+                        "devices) for VAE decode and OVERLAP each "
+                        "sample's decode with the remaining samples' "
+                        "diffusion ticks (the '7 stages + 1 decode chip' "
+                        "topology); 0 = decode after diffusion on all "
+                        "devices")
     p.add_argument("--vae-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="decoder compute dtype (bfloat16 halves decode memory)")
     p.add_argument("--seed", type=int, default=42)
@@ -154,12 +161,32 @@ def main(argv=None) -> int:
 
     spatial_down = 2 ** (len(vae_cfg.block_out_channels) - 1)
     lat_h, lat_w = args.height // spatial_down, args.width // spatial_down
-    mesh = make_pipeline_mesh(args.num_stages)
+    overlap_decode_mesh = None
+    if args.decode_devices:
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        from vdpp_tpu.parallel.mesh import DATA_AXIS, available_devices
+
+        devs = available_devices(args.backend)
+        stages = args.num_stages or (len(devs) - args.decode_devices)
+        if stages + args.decode_devices > len(devs):
+            LOGGER.error("--decode-devices %d + %d stages needs %d devices, have %d",
+                         args.decode_devices, stages,
+                         stages + args.decode_devices, len(devs))
+            return 1
+        mesh = make_pipeline_mesh(stages)
+        overlap_decode_mesh = _Mesh(
+            _np.array(devs[stages : stages + args.decode_devices]), (DATA_AXIS,)
+        )
+    else:
+        mesh = make_pipeline_mesh(args.num_stages)
     stages = mesh.shape["stage"]
     LOGGER.info(
-        "generate: %dx%d, %d frames, %d steps over %d stages, CFG %.1f",
+        "generate: %dx%d, %d frames, %d steps over %d stages, CFG %.1f%s",
         args.width, args.height, args.num_frames, args.steps, stages,
         args.guidance_scale,
+        f", {args.decode_devices} decode device(s)" if args.decode_devices else "",
     )
 
     # ---- models ----
@@ -237,12 +264,32 @@ def main(argv=None) -> int:
         )(keys)
         * model.init_noise_sigma
     )
-    latents = jax.block_until_ready(pipe.run((unet_params, cond), noise))
+    videos: list = [None] * args.num_samples
+    if overlap_decode_mesh is not None:
+        # Overlapped mode (SURVEY's "7 stages + 1 decode chip" topology):
+        # the ticked executor fires a callback the moment each sample
+        # finishes; decode dispatches asynchronously onto the RESERVED
+        # device subset, so sample i's decode runs while samples i+1..N
+        # are still denoising on the stage devices. Exact same math as
+        # the two-phase path — only the schedule changes.
+        def _decode_now(idx, lat):
+            videos[idx] = vae_dec.decode_data_parallel(
+                vae_dec_params, lat / vae_cfg.scaling_factor,
+                overlap_decode_mesh, chunk_frames=args.decode_chunk_frames,
+            )
+
+        latents, _ticks = pipe.run_ticked(
+            (unet_params, cond), noise, on_sample=_decode_now
+        )
+        jax.block_until_ready(latents)
+    else:
+        latents = jax.block_until_ready(pipe.run((unet_params, cond), noise))
     t_diffusion = time.perf_counter() - t0
     # Free the UNet before decode — the reference's two-phase design
     # exists for exactly this OOM (reference: generate_video_demo.py:
     # 409-411 'del model' before phase 2); here it is just dropping the
-    # parameter references so XLA reclaims the HBM.
+    # parameter references so XLA reclaims the HBM. (In overlapped mode
+    # decode runs on its own devices, so co-residency is moot.)
     del unet_params
     import gc
 
@@ -255,7 +302,7 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     os.makedirs(args.output_dir, exist_ok=True)
     decode_mesh = None
-    if stages > 1:
+    if overlap_decode_mesh is None and stages > 1:
         # Decode chunks in parallel over the same devices (the reference
         # decodes on one rank while the rest idle).
         from vdpp_tpu.parallel.mesh import make_data_mesh
@@ -263,16 +310,19 @@ def main(argv=None) -> int:
         decode_mesh = make_data_mesh(stages)
     outputs = []
     for i in range(args.num_samples):
-        lat = latents[i] / vae_cfg.scaling_factor
-        if decode_mesh is not None:
-            video = vae_dec.decode_data_parallel(
-                vae_dec_params, lat, decode_mesh,
-                chunk_frames=args.decode_chunk_frames,
-            )
+        if videos[i] is not None:
+            video = videos[i]  # dispatched during diffusion; drain here
         else:
-            video = vae_dec.decode_chunked(
-                vae_dec_params, lat, chunk_frames=args.decode_chunk_frames
-            )  # (1, F, H, W, 3)
+            lat = latents[i] / vae_cfg.scaling_factor
+            if decode_mesh is not None:
+                video = vae_dec.decode_data_parallel(
+                    vae_dec_params, lat, decode_mesh,
+                    chunk_frames=args.decode_chunk_frames,
+                )
+            else:
+                video = vae_dec.decode_chunked(
+                    vae_dec_params, lat, chunk_frames=args.decode_chunk_frames
+                )  # (1, F, H, W, 3)
         frames = frames_to_uint8(np.asarray(video[0]))
         name = build_output_name(
             "svd", num_frames=args.num_frames, steps=args.steps, stages=stages,

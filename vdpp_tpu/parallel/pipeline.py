@@ -346,12 +346,18 @@ class StepPipeline:
         bundle)."""
         return PipelineStream(self, params, latent_shape, dtype)
 
-    def run_ticked(self, params, inputs: jax.Array):
+    def run_ticked(self, params, inputs: jax.Array, on_sample=None):
         """Host-stepped execution returning per-tick wall-clock times.
 
         Returns:
             (outputs (N, *latent), tick_seconds list[num_ticks]).
             Sample ``i`` completes at tick ``i + S - 1``.
+
+        ``on_sample(idx, latent)``: optional callback fired the moment
+        sample ``idx`` finishes, with its (still device-resident, possibly
+        not-yet-computed — JAX async dispatch) latent. Dispatching
+        downstream work (e.g. VAE decode on a reserved device subset)
+        from the callback overlaps it with the remaining pipeline ticks.
         """
         import time
 
@@ -376,6 +382,8 @@ class StepPipeline:
             tick_times.append(time.perf_counter() - t0)
             if t >= S - 1:
                 outputs.append(emitted[S - 1])
+                if on_sample is not None:
+                    on_sample(t - (S - 1), emitted[S - 1])
         return jnp.stack(outputs), tick_times
 
 
