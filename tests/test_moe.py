@@ -118,3 +118,33 @@ def test_dit_moe_pipeline_on_stage_x_expert_mesh():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_expert_parallel_composes_with_int8(moe_params, tokens):
+    """int8-quantized expert weights (leading expert dim on the int8 "q",
+    replicated per-channel scales) shard over the expert axis and match
+    the single-device quantized computation."""
+    from vdpp_tpu.ops.quant import quantize_tree
+    from vdpp_tpu.parallel.mesh import EXPERT_AXIS, available_devices
+
+    qp = quantize_tree(moe_params, min_size=0)
+    assert isinstance(qp["w_in"], dict) and "q" in qp["w_in"]
+    ref = np.asarray(moe_ff(qp, tokens, EXPERTS))
+    # int8 actually changed the math vs float (sanity that we quantized)
+    assert not np.allclose(ref, np.asarray(moe_ff(moe_params, tokens, EXPERTS)))
+
+    mesh = Mesh(np.array(available_devices()[:4]), (EXPERT_AXIS,))
+    spec = expert_param_spec({"moe": qp}, EXPERT_AXIS)
+    assert spec["moe"]["w_in"]["q"] == P(EXPERT_AXIS)
+    assert spec["moe"]["w_in"]["scale"] == P()
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, x: moe_ff(p["moe"], x, EXPERTS, expert_axis=EXPERT_AXIS),
+            mesh=mesh,
+            in_specs=(spec, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(sharded({"moe": qp}, tokens))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

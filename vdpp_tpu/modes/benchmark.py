@@ -173,9 +173,6 @@ def main(argv=None) -> int:
     setup_logging(args.log_level)
     enable_persistent_cache()
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
-    if getattr(args, "weights_int8", False) and args.expert_parallel > 1:
-        raise SystemExit("--weights-int8 does not compose with "
-                         "--expert-parallel yet (expert weights stay bf16)")
     if getattr(args, "weights_int8", False):
         from vdpp_tpu.ops.quant import param_bytes, quantize_tree
 

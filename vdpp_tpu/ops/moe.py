@@ -83,10 +83,13 @@ def moe_ff(
             expert weights sharded on their leading dimension (the gate
             stays replicated); None for the single-device dense form.
     """
+    from vdpp_tpu.ops.quant import weight_for
+
     b, l, d = x.shape
-    # Replicated gate: every device routes identically.
+    # Replicated gate: every device routes identically (fp32 routing,
+    # dequantized if the tree was int8-quantized).
     logits = jnp.dot(
-        x.astype(jnp.float32), params["gate"]["w"].astype(jnp.float32)
+        x.astype(jnp.float32), weight_for(params["gate"], jnp.float32)
     )  # (B, L, E)
     probs = jax.nn.softmax(logits, axis=-1)
     # (B, L, E): top-1 probability at the argmax column, 0 elsewhere.
@@ -97,6 +100,12 @@ def moe_ff(
     ) * jnp.max(probs, axis=-1, keepdims=True)
 
     w_in, b_in = params["w_in"], params["b_in"]
+    w_out = params["w_out"]
+    if isinstance(w_in, dict):  # int8 weight-only form (ops/quant.py)
+        from vdpp_tpu.ops.quant import dequantize_weight
+
+        w_in = dequantize_weight(w_in, x.dtype)
+        w_out = dequantize_weight(w_out, x.dtype)
     e_local = w_in.shape[0]
     if expert_axis is not None:
         # This shard owns experts [idx*e_local, (idx+1)*e_local).
@@ -112,7 +121,7 @@ def moe_ff(
     h = h + b_in[:, None, None, :].astype(jnp.float32)
     h = jax.nn.gelu(h, approximate=True).astype(xd.dtype)
     o = jnp.einsum(
-        "ebli,eid->ebld", h, params["w_out"], preferred_element_type=jnp.float32
+        "ebli,eid->ebld", h, w_out, preferred_element_type=jnp.float32
     )
     o = o + params["b_out"][:, None, None, :].astype(jnp.float32)
     out = jnp.einsum("ebld,ble->bld", o, combine.astype(jnp.float32))
@@ -131,8 +140,13 @@ def expert_param_spec(params, expert_axis: str):
 
     def spec(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if "moe" in keys and keys[-1] in _EXPERT_LEAVES:
-            return P(expert_axis)
+        if "moe" in keys:
+            if keys[-1] in _EXPERT_LEAVES:
+                return P(expert_axis)
+            # int8 form: .../moe/w_in/{q, scale} — "q" keeps the leading
+            # expert dim; "scale" is per-output-channel (no expert dim).
+            if len(keys) >= 2 and keys[-2] in _EXPERT_LEAVES:
+                return P(expert_axis) if keys[-1] == "q" else P()
         return P()
 
     return tree_map_with_path(spec, params)

@@ -63,8 +63,12 @@ def quantize_tree(params, min_ndim: int = 2, min_size: int = 4096):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
+                # "w": dense layers/convs; "w_in"/"w_out": MoE expert
+                # stacks (ops/moe.py) — same last-axis-channel scheme,
+                # scales shared across the expert dim (which stays
+                # shardable: int8 "q" carries the leading expert axis).
                 if (
-                    k == "w"
+                    k in ("w", "w_in", "w_out")
                     and isinstance(v, jax.Array)
                     and jnp.issubdtype(v.dtype, jnp.floating)
                     and v.ndim >= min_ndim
