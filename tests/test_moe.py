@@ -148,3 +148,61 @@ def test_expert_parallel_composes_with_int8(moe_params, tokens):
     )
     got = np.asarray(sharded({"moe": qp}, tokens))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_dispatch_matches_dense_at_full_capacity(moe_params, tokens):
+    """With capacity >= T nothing drops: token-gather == dense one-hot,
+    single-device and expert-sharded."""
+    from vdpp_tpu.ops.moe import moe_ff_gather
+    from vdpp_tpu.parallel.mesh import EXPERT_AXIS, available_devices
+
+    dense = np.asarray(moe_ff(moe_params, tokens, EXPERTS))
+    got = np.asarray(
+        moe_ff_gather(moe_params, tokens, EXPERTS, capacity_factor=EXPERTS)
+    )
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-5)
+
+    mesh = Mesh(np.array(available_devices()[:4]), (EXPERT_AXIS,))
+    spec = expert_param_spec({"moe": moe_params}, EXPERT_AXIS)
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, x: moe_ff_gather(
+                p["moe"], x, EXPERTS, expert_axis=EXPERT_AXIS,
+                capacity_factor=EXPERTS,
+            ),
+            mesh=mesh, in_specs=(spec, P()), out_specs=P(), check_vma=False,
+        )
+    )
+    got_ep = np.asarray(sharded({"moe": moe_params}, tokens))
+    np.testing.assert_allclose(got_ep, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_dispatch_drops_beyond_capacity(moe_params, tokens):
+    """A tiny capacity drops tokens (documented approximation knob): the
+    result stays finite and differs from dense."""
+    from vdpp_tpu.ops.moe import moe_ff_gather
+
+    dense = np.asarray(moe_ff(moe_params, tokens, EXPERTS))
+    tiny = np.asarray(
+        moe_ff_gather(moe_params, tokens, EXPERTS, capacity_factor=0.25)
+    )
+    assert np.isfinite(tiny).all()
+    assert not np.allclose(tiny, dense)
+
+
+def test_dit_moe_gather_dispatch_in_model(monkeypatch):
+    """VDPP_MOE_DISPATCH=gather runs inside the DiT forward; at full
+    capacity it equals the dense-dispatch forward."""
+    from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
+
+    wrapper = DiTVideoWrapper(DiTVideoConfig.moe_tiny(), num_steps=2)
+    params = wrapper.init(jax.random.key(5))
+    ctx = jax.random.normal(jax.random.key(6), (1, 2, 16), jnp.float32)
+    lat = jax.random.normal(jax.random.key(7), (1, 4, 8, 8, 4), jnp.float32)
+    dense = wrapper.step(params, lat, 0, ctx)
+    monkeypatch.setenv("VDPP_MOE_DISPATCH", "gather")
+    monkeypatch.setenv("VDPP_MOE_CAPACITY", "4")  # == num_experts: no drops
+    gather = wrapper.step(params, lat, 0, ctx)
+    np.testing.assert_allclose(
+        np.asarray(gather), np.asarray(dense), rtol=1e-5, atol=1e-5
+    )

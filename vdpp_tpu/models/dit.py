@@ -152,11 +152,22 @@ def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
         x = x + attention(h, p["cross_attn"], heads=heads, context=ctx)
     h = _modulate(layer_norm(x, p["norm2"]), sh2, sc2)
     if "moe" in p:
-        from vdpp_tpu.ops.moe import moe_ff
+        import os
 
-        num_experts = p["moe"]["gate"]["w"].shape[1]
-        x = x + g2[:, None, :] * moe_ff(p["moe"], h, num_experts,
-                                        expert_axis=expert_axis)
+        from vdpp_tpu.ops.moe import moe_ff, moe_ff_gather
+
+        gw = p["moe"]["gate"]["w"]
+        num_experts = (gw["q"] if isinstance(gw, dict) else gw).shape[-1]
+        if os.environ.get("VDPP_MOE_DISPATCH") == "gather":
+            # Capacity-based token-gather (E-fold less compute; drops
+            # over-capacity tokens — see ops/moe.py docstring).
+            ff = moe_ff_gather(
+                p["moe"], h, num_experts, expert_axis=expert_axis,
+                capacity_factor=float(os.environ.get("VDPP_MOE_CAPACITY", "2.0")),
+            )
+        else:
+            ff = moe_ff(p["moe"], h, num_experts, expert_axis=expert_axis)
+        x = x + g2[:, None, :] * ff
     else:
         h = linear(h, p["mlp_in"])
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)

@@ -130,6 +130,82 @@ def moe_ff(
     return out.astype(x.dtype)
 
 
+def moe_ff_gather(
+    params: dict,
+    x: jax.Array,
+    num_experts: int,
+    expert_axis: str | None = None,
+    capacity_factor: float = 2.0,
+) -> jax.Array:
+    """Token-gather (capacity-based) MoE dispatch.
+
+    The dense one-hot form (:func:`moe_ff`) computes every local expert
+    over ALL tokens — exact, but E-fold the useful FLOPs. This variant
+    sorts tokens by their routed expert and each expert processes only
+    its own segment, padded to a static capacity
+    ``C = ceil(T / num_experts * capacity_factor)`` — the GShard/Switch
+    scheme, E-fold less compute. Tokens beyond an expert's capacity are
+    DROPPED (their FF output is 0; the residual connection still carries
+    them), so this is an approximation knob, not the exact default: with
+    ``capacity_factor >= num_experts`` (C >= T) nothing can drop and the
+    result equals :func:`moe_ff` exactly (tested).
+
+    Same parameter layout and expert-axis contract as :func:`moe_ff`.
+    """
+    from vdpp_tpu.ops.quant import weight_for
+
+    b, l, d = x.shape
+    t = b * l
+    logits = jnp.dot(
+        x.astype(jnp.float32), weight_for(params["gate"], jnp.float32)
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    assign = jnp.argmax(probs, axis=-1).reshape(t)  # (T,) in [0, E)
+    gatev = jnp.max(probs, axis=-1).reshape(t)  # (T,) combine weight
+
+    w_in, b_in = params["w_in"], params["b_in"]
+    w_out, b_out = params["w_out"], params["b_out"]
+    if isinstance(w_in, dict):
+        from vdpp_tpu.ops.quant import dequantize_weight
+
+        w_in = dequantize_weight(w_in, x.dtype)
+        w_out = dequantize_weight(w_out, x.dtype)
+    e_local = w_in.shape[0]
+    off = (
+        jax.lax.axis_index(expert_axis) * e_local if expert_axis is not None else 0
+    )
+
+    cap = int(-(-t * capacity_factor // num_experts))  # ceil, static
+    cap = min(cap, t)
+
+    # Stable group-by-expert: sort keys expert-major, token-minor.
+    order = jnp.argsort(assign * t + jnp.arange(t))  # (T,) token ids
+    sorted_assign = assign[order]
+    counts = jnp.bincount(assign, length=num_experts)  # (E,)
+    starts = jnp.cumsum(counts) - counts  # segment start per expert
+
+    flat = x.reshape(t, d)
+    out = jnp.zeros((t, d), jnp.float32)
+    for j in range(e_local):  # static, small
+        e = off + j
+        start = jnp.clip(starts[e], 0, t - 1)
+        tok_ids = jax.lax.dynamic_slice_in_dim(order, start, cap)  # (C,)
+        seg_assign = jax.lax.dynamic_slice_in_dim(sorted_assign, start, cap)
+        valid = seg_assign == e  # False beyond the segment / capacity
+        xt = flat[tok_ids].astype(w_in.dtype)  # (C, d)
+        h = jnp.dot(xt, w_in[j], preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + b_in[j].astype(jnp.float32), approximate=True)
+        o = jnp.dot(
+            h.astype(xt.dtype), w_out[j], preferred_element_type=jnp.float32
+        ) + b_out[j].astype(jnp.float32)
+        o = o * (valid * gatev[tok_ids])[:, None]
+        # Scatter back; invalid rows target their token id but add 0.
+        out = out.at[tok_ids].add(o, mode="drop")
+    if expert_axis is not None:
+        out = jax.lax.psum(out, expert_axis)
+    return out.reshape(b, l, d).astype(x.dtype)
+
+
 def expert_param_spec(params, expert_axis: str):
     """PartitionSpec pytree for a params tree: expert-stacked leaves (the
     ``w_in``/``b_in``/``w_out``/``b_out`` tensors directly under a
