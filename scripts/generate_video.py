@@ -122,7 +122,6 @@ def main(argv=None) -> int:
     from vdpp_tpu.models.svd_unet import SVDUNetConfig
     from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_conditioning
     from vdpp_tpu.models.vae import TemporalVAEDecoder, VAEConfig, VAEEncoder
-    from vdpp_tpu.parallel.mesh import make_pipeline_mesh
     from vdpp_tpu.parallel.pipeline import PipelineConfig, StepPipeline
     from vdpp_tpu.utils.logging import setup_logging
     from vdpp_tpu.utils.video_io import (
@@ -161,26 +160,11 @@ def main(argv=None) -> int:
 
     spatial_down = 2 ** (len(vae_cfg.block_out_channels) - 1)
     lat_h, lat_w = args.height // spatial_down, args.width // spatial_down
-    overlap_decode_mesh = None
-    if args.decode_devices:
-        import numpy as _np
-        from jax.sharding import Mesh as _Mesh
+    from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
 
-        from vdpp_tpu.parallel.mesh import DATA_AXIS, available_devices
-
-        devs = available_devices(args.backend)
-        stages = args.num_stages or (len(devs) - args.decode_devices)
-        if stages + args.decode_devices > len(devs):
-            LOGGER.error("--decode-devices %d + %d stages needs %d devices, have %d",
-                         args.decode_devices, stages,
-                         stages + args.decode_devices, len(devs))
-            return 1
-        mesh = make_pipeline_mesh(stages)
-        overlap_decode_mesh = _Mesh(
-            _np.array(devs[stages : stages + args.decode_devices]), (DATA_AXIS,)
-        )
-    else:
-        mesh = make_pipeline_mesh(args.num_stages)
+    mesh, overlap_decode_mesh = make_pipeline_and_decode_meshes(
+        args.num_stages, args.decode_devices, args.backend
+    )
     stages = mesh.shape["stage"]
     LOGGER.info(
         "generate: %dx%d, %d frames, %d steps over %d stages, CFG %.1f%s",

@@ -206,3 +206,27 @@ def test_dit_moe_gather_dispatch_in_model(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gather), np.asarray(dense), rtol=1e-5, atol=1e-5
     )
+
+
+def test_factorized_mode_moe_activates():
+    """Regression: the MoE phase counts ELIGIBLE (spatial) blocks — with
+    the global block index, factorized mode's even-indexed eligible blocks
+    never hit an odd phase and MoE silently never activated."""
+    from vdpp_tpu.models.dit import DiTVideo, DiTVideoConfig
+
+    cfg = DiTVideoConfig(hidden_size=32, depth=8, num_heads=2,
+                         cross_attention_dim=16, num_experts=4,
+                         dtype=jnp.float32)
+    params = DiTVideo(cfg).init(jax.random.key(0))
+    moe_blocks = [i for i, b in enumerate(params["blocks"]) if "moe" in b]
+    assert moe_blocks == [2, 6]  # 2nd and 4th eligible (spatial) blocks
+
+
+def test_gather_dispatch_rejects_partial_params_without_axis(moe_params):
+    from vdpp_tpu.ops.moe import moe_ff_gather
+
+    sliced = dict(moe_params)
+    sliced["w_in"] = moe_params["w_in"][:2]
+    x = jax.random.normal(jax.random.key(0), (1, 8, DIM), jnp.float32)
+    with pytest.raises(ValueError, match="all 4 experts"):
+        moe_ff_gather(sliced, x, EXPERTS)

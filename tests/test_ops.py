@@ -303,3 +303,14 @@ def test_splash_attention_untileable_falls_back():
     assert splash_supported(9216, 9216)
     assert splash_supported(2304, 2304)
     assert not splash_supported(576, 576)
+
+
+def test_flash_block_pick_floor_512():
+    """The q-block halving guard never drops below 512 (sub-512 blocks
+    were the measured-slow pre-sweep configs)."""
+    from vdpp_tpu.ops.flash_attention import _pick_blocks
+
+    assert _pick_blocks(9216, 9216, 1536, 1536, 1536)[0] == 1536
+    assert _pick_blocks(2304, 2304, 1536, 1536, 1536)[0] == 768
+    for lq in (1600, 1664, 1792, 2304, 9216, 576):
+        assert _pick_blocks(lq, lq, 1536, 1536, 1536)[0] >= 512

@@ -205,3 +205,19 @@ def test_slice_rows_groups_by_slice_index():
     rows = _slice_rows([d[4], d[0], d[5], d[1], d[2], d[3]])
     assert [[x.id for x in r] for r in rows] == [[0, 1, 2], [4, 5, 3]]
     assert len(_slice_rows([SimpleNamespace(id=0), SimpleNamespace(id=1)])) == 1
+
+
+def test_pipeline_and_decode_mesh_reservation():
+    """Shared stage+decode device partition: auto-sized stages, disjoint
+    device sets, one backend resolution, clean error when oversubscribed."""
+    from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
+
+    stage_mesh, decode_mesh = make_pipeline_and_decode_meshes(None, 2)
+    assert stage_mesh.shape["stage"] == 6 and decode_mesh.shape["data"] == 2
+    assert not (set(stage_mesh.devices.flat) & set(decode_mesh.devices.flat))
+
+    stage_mesh2, none = make_pipeline_and_decode_meshes(4, 0)
+    assert none is None and stage_mesh2.shape["stage"] == 4
+
+    with pytest.raises(ValueError, match="devices"):
+        make_pipeline_and_decode_meshes(8, 1)

@@ -220,19 +220,22 @@ class DiTVideo:
             },
             "final_proj": init_linear(kg(), d, pout, cfg.dtype),
         }
+        eligible_idx = 0
         for i in range(cfg.depth):
             # joint3d: every block is a full spatio-temporal block with
             # cross-attention; factorized: alternate spatial/temporal.
             cross = True if cfg.attention_mode == "joint3d" else i % 2 == 0
-            # MoE feed-forward in every moe_every-th eligible block
+            # MoE feed-forward in every moe_every-th ELIGIBLE block
             # (spatial blocks only in factorized mode — _temporal_block
-            # keeps its dense FF).
+            # keeps its dense FF). The phase counts eligible blocks, not
+            # global depth: with the global index, factorized mode's
+            # even-indexed eligible blocks could never hit an odd phase
+            # and MoE would silently never activate.
             eligible = cfg.attention_mode == "joint3d" or i % 2 == 0
-            moe = (
-                cfg.num_experts > 0
-                and eligible
-                and i % cfg.moe_every == cfg.moe_every - 1
-            )
+            moe = False
+            if cfg.num_experts > 0 and eligible:
+                moe = eligible_idx % cfg.moe_every == cfg.moe_every - 1
+                eligible_idx += 1
             params["blocks"].append(_init_block(kg, cfg, cross=cross, moe=moe))
         return params
 

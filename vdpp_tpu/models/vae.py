@@ -322,6 +322,30 @@ class TemporalVAEDecoder:
         n_dev = mesh.shape[axis_name]
         n_full = f // chunk_frames
         rem = f - n_full * chunk_frames
+
+        # Jitted entry points are cached on the instance: a fresh closure
+        # per call would re-trace on EVERY invocation (a measurable
+        # serving-hot-path cost), and the replicated params are re-placed
+        # only when the params tree or mesh changes.
+        if not hasattr(self, "_dp_jit"):
+            self._dp_jit = jax.jit(
+                lambda p, cs: jax.vmap(lambda c: self.apply(p, c))(cs)
+            )
+            self._dp_jit_single = jax.jit(self.apply)
+            self._dp_params_key = None
+        # Identity comparison on the live objects (not id(): a freed tree's
+        # id can be reused) — the cache holds a strong ref via the key.
+        if not (
+            self._dp_params_key is not None
+            and self._dp_params_key[0] is params
+            and self._dp_params_key[1] is mesh
+        ):
+            self._dp_params = jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), params
+            )
+            self._dp_params_key = (params, mesh)
+        params_r = self._dp_params
+
         pieces = []
         if n_full:
             chunks = latents[:, : n_full * chunk_frames].reshape(
@@ -334,17 +358,17 @@ class TemporalVAEDecoder:
                     axis=0,
                 )
             chunks = jax.device_put(chunks, NamedSharding(mesh, P(axis_name)))
-            params_r = jax.tree_util.tree_map(
-                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), params
-            )
-
-            @jax.jit
-            def decode_all(p, cs):
-                return jax.vmap(lambda c: self.apply(p, c))(cs)
-
-            out = decode_all(params_r, chunks)  # (chunks, b, cf, H, W, 3)
+            out = self._dp_jit(params_r, chunks)  # (chunks, b, cf, H, W, 3)
             out = out[:n_full].swapaxes(0, 1)
             pieces.append(out.reshape(b, n_full * chunk_frames, *out.shape[3:]))
         if rem:
-            pieces.append(self.apply(params, latents[:, n_full * chunk_frames :]))
+            # Trailing partial chunk: decoded at its TRUE length (temporal
+            # convs see the real frame count — elementwise identical to
+            # decode_chunked) but placed on the SAME mesh, so reserved
+            # decode devices stay reserved (no work leaks back onto the
+            # pipeline's stage devices).
+            rem_lat = jax.device_put(
+                latents[:, n_full * chunk_frames :], NamedSharding(mesh, P())
+            )
+            pieces.append(self._dp_jit_single(params_r, rem_lat))
         return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)

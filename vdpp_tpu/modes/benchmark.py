@@ -189,6 +189,11 @@ def main(argv=None) -> int:
     )
 
     if args.fsdp:
+        if args.seq_parallel > 1 or args.cfg_parallel or args.expert_parallel > 1:
+            raise SystemExit(
+                "--fsdp runs every step on every device (no stage axis); "
+                "drop --seq-parallel/--cfg-parallel/--expert-parallel"
+            )
         mesh = make_data_mesh(args.num_stages)
         world = mesh.shape["data"]
         runner = FSDPRunner(mesh, step_fn, args.total_steps)

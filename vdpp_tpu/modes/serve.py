@@ -73,7 +73,6 @@ class _Engine:
         from vdpp_tpu.models.svd_unet import SVDUNetConfig
         from vdpp_tpu.models.svd_wrapper import StableVideoUNet
         from vdpp_tpu.models.vae import TemporalVAEDecoder, VAEConfig
-        from vdpp_tpu.parallel.mesh import make_pipeline_mesh
         from vdpp_tpu.parallel.pipeline import PipelineConfig, StepPipeline
 
         self.jax = jax
@@ -118,29 +117,16 @@ class _Engine:
             self.params = jax.jit(self.model.init)(jax.random.key(args.seed))
             self.vae_params = self.vae_dec.init(jax.random.key(args.seed + 1))
 
-        self.mesh = make_pipeline_mesh(args.num_stages)
+        # Task decoupling: decode on devices the pipeline never uses, so a
+        # tick dispatched right after a decode does not queue behind it
+        # (the stream thread keeps ticking while decode runs).
+        # Chunk-parallel decode shards across the reserved subset.
+        from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
+
+        self.mesh, self.decode_mesh = make_pipeline_and_decode_meshes(
+            args.num_stages, args.decode_devices, args.backend
+        )
         self.stages = self.mesh.shape["stage"]
-        self.decode_mesh = None
-        if args.decode_devices:
-            # Task decoupling: decode on devices the pipeline never uses,
-            # so a tick dispatched right after a decode does not queue
-            # behind it (the stream thread keeps ticking while decode
-            # runs). Chunk-parallel decode shards across the subset.
-            import numpy as np
-            from jax.sharding import Mesh
-
-            from vdpp_tpu.parallel.mesh import DATA_AXIS, available_devices
-
-            devs = available_devices(args.backend)
-            need = self.stages + args.decode_devices
-            if len(devs) < need:
-                raise ValueError(
-                    f"--decode-devices {args.decode_devices} needs "
-                    f"{need} devices total, have {len(devs)}"
-                )
-            self.decode_mesh = Mesh(
-                np.array(devs[self.stages : need]), (DATA_AXIS,)
-            )
         self.pipe = StepPipeline(
             self.mesh,
             self.model.pipeline_step_fn(),

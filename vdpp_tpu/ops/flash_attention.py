@@ -214,7 +214,7 @@ def _pick_blocks(lq: int, lk: int, block_q: int, block_k_major: int, block_k: in
     def pad(b: int) -> int:
         return -lq % b
 
-    while bq > 512 and pad(bq // 2) < pad(bq):
+    while bq // 2 >= 512 and pad(bq // 2) < pad(bq):
         bq //= 2
     bkm = min(block_k_major, _round_up(lk, 128))
     bk = min(block_k, bkm)

@@ -171,6 +171,10 @@ def moe_ff_gather(
         w_in = dequantize_weight(w_in, x.dtype)
         w_out = dequantize_weight(w_out, x.dtype)
     e_local = w_in.shape[0]
+    if expert_axis is None and e_local != num_experts:
+        raise ValueError(
+            f"single-device call needs all {num_experts} experts, got {e_local}"
+        )
     off = (
         jax.lax.axis_index(expert_axis) * e_local if expert_axis is not None else 0
     )

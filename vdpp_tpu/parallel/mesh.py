@@ -168,6 +168,11 @@ def make_multislice_mesh(
     if len(rows) > 1:
         # Real multi-slice topology: one mesh row per physical slice.
         if num_slices is not None:
+            if num_slices > len(rows):
+                raise ValueError(
+                    f"requested {num_slices} slices but the platform has "
+                    f"{len(rows)}"
+                )
             rows = rows[:num_slices]
         width = min(len(r) for r in rows)
         if stages_per_slice is not None:
@@ -192,3 +197,31 @@ def make_multislice_mesh(
             raise ValueError(f"Need {need} devices, have {len(devices)}.")
         arr = np.array(devices[:need]).reshape(num_slices, stages_per_slice)
     return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+
+
+def make_pipeline_and_decode_meshes(
+    num_stages: int | None,
+    decode_devices: int,
+    backend: str | None = None,
+) -> tuple[Mesh, Mesh | None]:
+    """Stage mesh plus an optional RESERVED decode mesh from one device
+    list (task decoupling: decode work never lands on a stage device).
+
+    ``num_stages=None`` auto-sizes to all devices left after the
+    reservation. Both meshes draw from the same backend-resolved device
+    list — resolving twice with different backends could silently hand
+    the "reserved" decode devices back to the stages.
+    """
+    if not decode_devices:
+        return make_pipeline_mesh(num_stages, backend), None
+    devices = available_devices(backend)
+    stages = num_stages if num_stages is not None else len(devices) - decode_devices
+    need = stages + decode_devices
+    if stages < 1 or need > len(devices):
+        raise ValueError(
+            f"{stages} stages + {decode_devices} decode devices need "
+            f"{need} devices, have {len(devices)}"
+        )
+    stage_mesh = Mesh(np.array(devices[:stages]), (STAGE_AXIS,))
+    decode_mesh = Mesh(np.array(devices[stages:need]), (DATA_AXIS,))
+    return stage_mesh, decode_mesh
