@@ -96,3 +96,46 @@ def test_stream_rejects_wrong_shape():
             stream.submit(jnp.zeros((2, 4, 2, 8, 8)))
     finally:
         stream.close()
+
+
+def test_stream_rejects_wrong_dtype_and_submit_after_close():
+    """A mismatched dtype would silently promote the donated stage buffer
+    for every later request; a submit after close would hang forever."""
+    import pytest
+
+    pipe, params, _ = _make_pipe()
+    stream = pipe.stream(params, LATENT, jnp.float32)
+    try:
+        with pytest.raises(ValueError, match="dtype"):
+            stream.submit(jnp.zeros(LATENT, jnp.bfloat16))
+    finally:
+        stream.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        stream.submit(jnp.zeros(LATENT, jnp.float32))
+
+
+def test_stream_failure_fails_all_waiters_and_rejects_new_submits():
+    """A failing tick must fail every in-flight/queued future (including
+    the one popped for completion) and poison the stream — not hang
+    clients or keep accepting requests into a dead pipeline."""
+    import pytest
+
+    def bad_step(p, x, s):
+        raise RuntimeError("injected tick failure")
+
+    model = DummyUNet(channels=4, hidden_channels=8)
+    params = model.init(jax.random.key(0))
+    pipe = StepPipeline(
+        make_pipeline_mesh(STAGES), bad_step,
+        PipelineConfig(total_steps=TOTAL_STEPS, num_stages=STAGES),
+    )
+    stream = pipe.stream(params, LATENT, jnp.float32)
+    try:
+        futs = [stream.submit(jnp.zeros(LATENT, jnp.float32)) for _ in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="injected tick failure"):
+                f.result(timeout=120)
+        with pytest.raises(RuntimeError, match="stream failed"):
+            stream.submit(jnp.zeros(LATENT, jnp.float32))
+    finally:
+        stream.close()

@@ -48,7 +48,9 @@ def karras_sigmas(
 
     Returns:
         float32 array of shape ``(num_steps + 1,)``; ``sigmas[0] == sigma_max``,
-        ``sigmas[-2] == sigma_min``, ``sigmas[-1] == 0``.
+        ``sigmas[-1] == 0``, and for ``num_steps >= 2``
+        ``sigmas[-2] == sigma_min`` (a single-step schedule has only
+        ``[sigma_max, 0]`` — the one active sigma is sigma_max).
     """
     if num_steps < 1:
         raise ValueError("num_steps must be >= 1")

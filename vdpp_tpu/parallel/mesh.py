@@ -56,31 +56,20 @@ def make_pipeline_mesh(
         raise ValueError(
             f"Requested {num_stages} stages but only {len(devices)} devices available."
         )
-    return Mesh(np.array(devices[:num_stages]), (STAGE_AXIS,))
+    return make_axes_mesh(backend, **{STAGE_AXIS: num_stages})
 
 
 def make_data_mesh(num_shards: int | None = None, backend: str | None = None) -> Mesh:
     """1-D mesh over the data (sample) axis for the DP baseline."""
-    devices = available_devices(backend)
-    if num_shards is None:
-        num_shards = len(devices)
-    if num_shards > len(devices):
-        raise ValueError(
-            f"Requested {num_shards} shards but only {len(devices)} devices available."
-        )
-    return Mesh(np.array(devices[:num_shards]), (DATA_AXIS,))
+    n = num_shards if num_shards is not None else len(available_devices(backend))
+    return make_axes_mesh(backend, **{DATA_AXIS: n})
 
 
 def make_2d_mesh(
     num_stages: int, num_data: int, backend: str | None = None
 ) -> Mesh:
     """(stage, data) mesh for combined pipeline + data parallelism."""
-    devices = available_devices(backend)
-    need = num_stages * num_data
-    if need > len(devices):
-        raise ValueError(f"Need {need} devices, have {len(devices)}.")
-    arr = np.array(devices[:need]).reshape(num_stages, num_data)
-    return Mesh(arr, (STAGE_AXIS, DATA_AXIS))
+    return make_axes_mesh(backend, **{STAGE_AXIS: num_stages, DATA_AXIS: num_data})
 
 
 def make_cfg_mesh(backend: str | None = None) -> Mesh:
@@ -107,14 +96,8 @@ def make_axes_mesh(backend: str | None = None, **axes: int) -> Mesh:
 
 def make_seq_mesh(num_shards: int | None = None, backend: str | None = None) -> Mesh:
     """1-D mesh over the token (sequence) axis."""
-    devices = available_devices(backend)
-    if num_shards is None:
-        num_shards = len(devices)
-    if num_shards > len(devices):
-        raise ValueError(
-            f"Requested {num_shards} shards but only {len(devices)} devices available."
-        )
-    return Mesh(np.array(devices[:num_shards]), (SEQ_AXIS,))
+    n = num_shards if num_shards is not None else len(available_devices(backend))
+    return make_axes_mesh(backend, **{SEQ_AXIS: n})
 
 
 def make_stage_seq_mesh(
@@ -122,12 +105,7 @@ def make_stage_seq_mesh(
 ) -> Mesh:
     """(stage, seq) mesh: step pipeline x sequence parallelism — each stage
     is itself a ``num_seq``-device token-sharded group."""
-    devices = available_devices(backend)
-    need = num_stages * num_seq
-    if need > len(devices):
-        raise ValueError(f"Need {need} devices, have {len(devices)}.")
-    arr = np.array(devices[:need]).reshape(num_stages, num_seq)
-    return Mesh(arr, (STAGE_AXIS, SEQ_AXIS))
+    return make_axes_mesh(backend, **{STAGE_AXIS: num_stages, SEQ_AXIS: num_seq})
 
 
 def _slice_rows(devices) -> list[list]:

@@ -298,7 +298,14 @@ class StepPipeline:
             return jitted_memory_analysis(
                 self._jitted[key], params, inputs, buf, jnp.int32(0)
             )
-        n_local = n_total // self.data_parallel_size
+        dp = self.data_parallel_size
+        if n_total % dp != 0:
+            # Same contract as run(): a floored n_local would hand the
+            # full batch to a mismatched shard_map program.
+            raise ValueError(
+                f"num_samples {n_total} must be divisible by data-axis size {dp}"
+            )
+        n_local = n_total // dp
         key = (n_local, inputs.shape[1:], str(inputs.dtype))
         if key not in self._jitted:
             self._jitted[key] = self._build(n_local)
@@ -311,21 +318,15 @@ class StepPipeline:
         concurrent requests share one filled pipeline. The stage buffer is
         donated (one resident copy)."""
         mesh = self.mesh
-        cfg = self.config
-        S, K = cfg.num_stages, cfg.steps_per_stage
-        step_fn = self.step_fn
         buf_spec = P(STAGE_AXIS)
 
         def per_stage(params, fresh, buf):
-            s = jax.lax.axis_index(STAGE_AXIS)
-            x = jnp.where(s == 0, fresh, buf[0])
-
-            def body(xc, k):
-                return step_fn(params, xc, s * K + k), None
-
-            x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
-            emitted = x
-            x = jax.lax.ppermute(x, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            # Same tick body as the fused/ticked executors (_tick_core):
+            # a one-sample batch whose sample 0 is the fresh request —
+            # the clamped gather at t=0 selects exactly ``fresh``.
+            x, emitted = self._tick_core(
+                params, fresh[None], buf[0], jnp.int32(0), 1
+            )
             return x[None], emitted[None]
 
         sharded = jax.shard_map(
@@ -361,6 +362,12 @@ class StepPipeline:
         """
         import time
 
+        if self.data_parallel_size > 1:
+            raise NotImplementedError(
+                "run_ticked drives the 1-D (stage) schedule; on a "
+                "(stage, data) mesh every data column would redundantly "
+                "recompute all samples — use run()"
+            )
         cfg = self.config
         S = cfg.num_stages
         N = int(inputs.shape[0])
@@ -414,23 +421,37 @@ class PipelineStream:
         self._tick_fn = pipe._build_stream_tick()
         self._buf = jnp.zeros((self._S, *self.latent_shape), dtype)
         self._idle = jnp.zeros(self.latent_shape, dtype)
+        self._dtype = jnp.dtype(dtype)
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._in_flight: list = []  # futures by ingestion order, newest last
         self._cv = threading.Condition()
         self._pending = 0
         self._stopped = False
+        self._failure: Exception | None = None
         self.ticks_run = 0
         self._thread = threading.Thread(target=self._drive, daemon=True)
         self._thread.start()
 
     def submit(self, latent: jax.Array):
         """Enqueue one sample ``(*latent_shape)``; returns a Future whose
-        result is the finished latent."""
+        result is the finished (device-resident) latent."""
         from concurrent.futures import Future
 
+        if self._stopped or self._failure is not None:
+            raise RuntimeError(
+                "stream is closed"
+                if self._failure is None
+                else f"stream failed: {self._failure!r}"
+            )
         if tuple(latent.shape) != self.latent_shape:
             raise ValueError(
                 f"latent shape {latent.shape} != stream shape {self.latent_shape}"
+            )
+        if jnp.dtype(latent.dtype) != self._dtype:
+            # A mismatched dtype would silently promote the donated stage
+            # buffer for EVERY later request (and skip donation).
+            raise ValueError(
+                f"latent dtype {latent.dtype} != stream dtype {self._dtype}"
             )
         fut: Future = Future()
         self._queue.put((latent, fut))
@@ -463,6 +484,7 @@ class PipelineStream:
                     self._pending -= 1
             except queue.Empty:
                 fresh, fut = self._idle, None  # keep draining in-flight work
+            done = None
             try:
                 self._buf, emitted = self._tick_fn(self.params, fresh, self._buf)
                 self.ticks_run += 1
@@ -470,19 +492,38 @@ class PipelineStream:
                 if len(self._in_flight) >= self._S:
                     done = self._in_flight.pop(0)
                     if done is not None:
-                        done.set_result(jax.block_until_ready(emitted[self._S - 1]))
+                        # Resolve with the not-yet-computed device array —
+                        # blocking here would insert one full host/device
+                        # round trip of idle time per tick (the client's
+                        # own use of the result synchronizes; async
+                        # device errors surface there).
+                        done.set_result(emitted[self._S - 1])
                 # Once no real request is in transit, stop burning idle
                 # ticks (positional bookkeeping restarts cleanly: a future
                 # ingested later still completes exactly S ticks on).
                 if all(f is None for f in self._in_flight):
                     self._in_flight.clear()
-            except Exception as e:  # surface tick failures to all waiters
-                for f in [fut] + self._in_flight:
+            except Exception as e:
+                # A failed tick may have consumed the donated stage buffer
+                # — the stream cannot continue. Fail every waiter
+                # (including the just-popped ``done`` and anything still
+                # queued) and refuse further submits.
+                self._failure = e
+                waiters = [fut, done] + self._in_flight
+                self._in_flight.clear()
+                while True:
+                    try:
+                        _, qfut = self._queue.get_nowait()
+                        waiters.append(qfut)
+                    except queue.Empty:
+                        break
+                with self._cv:
+                    self._pending = 0
+                    self._stopped = True
+                for f in waiters:
                     if f is not None and not f.done():
                         f.set_exception(e)
-                self._in_flight.clear()
-                if self._stopped:
-                    return
+                return
 
 
 def run_reference_single_device(
