@@ -314,3 +314,30 @@ def test_flash_block_pick_floor_512():
     assert _pick_blocks(2304, 2304, 1536, 1536, 1536)[0] == 768
     for lq in (1600, 1664, 1792, 2304, 9216, 576):
         assert _pick_blocks(lq, lq, 1536, 1536, 1536)[0] >= 512
+
+
+def test_seq_parallel_attention_one_token_per_shard():
+    """Regression: with sequence parallelism the LOCAL kv length can be 1;
+    the single-key cross-attention shortcut must not fire (it would skip
+    the K/V all_gather and broadcast each shard's own value row)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    b, l, c, heads = 1, 2, 16, 2
+    x = jax.random.normal(jax.random.key(0), (b, l, c), jnp.float32)
+    params = init_attention(jax.random.key(1), c, heads)
+    ref = attention(x, params, heads, use_flash=False)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, xs: attention(xs, p, heads, use_flash=False,
+                                    seq_axis="seq"),
+            mesh=mesh,
+            in_specs=(P(), P(None, "seq", None)),
+            out_specs=P(None, "seq", None),
+            check_vma=False,
+        )
+    )
+    got = sharded(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

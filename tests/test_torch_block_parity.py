@@ -200,3 +200,34 @@ def test_scheduler_oracle_matches_repo_schedule():
         repo.sigmas[2], repo.sigmas[3],
     )
     np.testing.assert_allclose(got.numpy(), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_vae_encoder_downsample_padding():
+    """diffusers' KL-encoder Downsample2D pads (0,1,0,1) — right/bottom
+    only (downsample_padding=0 + explicit F.pad) — NOT symmetric padding=1.
+    Pin the repo's encoder downsample to that convention with a plain
+    torch oracle sharing the same weights."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+
+    from vdpp_tpu.ops.conv import conv2d, init_conv2d
+
+    p = init_conv2d(jax.random.key(0), 8, 8, 3)
+    x = jax.random.normal(jax.random.key(1), (1, 9, 9, 8), jnp.float32)
+
+    got = conv2d(x, p, stride=2, padding=((0, 1), (0, 1)))
+
+    # torch NCHW oracle: F.pad right/bottom then stride-2 valid conv.
+    xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+    wt = torch.from_numpy(np.asarray(p["w"])).permute(3, 2, 0, 1)  # HWIO->OIHW
+    bt = torch.from_numpy(np.asarray(p["b"]))
+    ref = torch.nn.functional.conv2d(
+        F.pad(xt, (0, 1, 0, 1)), wt, bt, stride=2
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(got), ref.numpy(), rtol=1e-4, atol=1e-4
+    )

@@ -57,13 +57,7 @@ class CLIPVisionConfig:
         return (self.image_size // self.patch_size) ** 2
 
 
-class _Keys:
-    def __init__(self, key):
-        self._key, self._n = key, 0
-
-    def __call__(self):
-        self._n += 1
-        return jax.random.fold_in(self._key, self._n)
+from vdpp_tpu.models._common import FreshKeys as _Keys  # noqa: E402
 
 
 class CLIPVisionEncoder:

@@ -87,13 +87,7 @@ class DiTVideoConfig:
                    dtype=dtype)
 
 
-class _Keys:
-    def __init__(self, key):
-        self._key, self._n = key, 0
-
-    def __call__(self):
-        self._n += 1
-        return jax.random.fold_in(self._key, self._n)
+from vdpp_tpu.models._common import FreshKeys as _Keys  # noqa: E402
 
 
 def _init_block(kg, cfg: DiTVideoConfig, cross: bool, moe: bool = False) -> dict:

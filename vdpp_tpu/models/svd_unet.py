@@ -105,16 +105,7 @@ class SVDUNetConfig:
         )
 
 
-class _Keys:
-    """Deterministic fresh-key generator for init."""
-
-    def __init__(self, key: jax.Array):
-        self._key = key
-        self._n = 0
-
-    def __call__(self) -> jax.Array:
-        self._n += 1
-        return jax.random.fold_in(self._key, self._n)
+from vdpp_tpu.models._common import FreshKeys as _Keys  # noqa: E402
 
 
 # --------------------------------------------------------------------- #

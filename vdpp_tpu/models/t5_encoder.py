@@ -66,13 +66,7 @@ class T5EncoderConfig:
         return self.num_heads * self.d_kv
 
 
-class _Keys:
-    def __init__(self, key):
-        self._key, self._n = key, 0
-
-    def __call__(self):
-        self._n += 1
-        return jax.random.fold_in(self._key, self._n)
+from vdpp_tpu.models._common import FreshKeys as _Keys  # noqa: E402
 
 
 def hash_tokenize(prompt: str, vocab_size: int, max_tokens: int = 64) -> list[int]:

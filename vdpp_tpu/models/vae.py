@@ -64,13 +64,7 @@ class VAEConfig:
                    dtype=dtype)
 
 
-class _Keys:
-    def __init__(self, key):
-        self._key, self._n = key, 0
-
-    def __call__(self):
-        self._n += 1
-        return jax.random.fold_in(self._key, self._n)
+from vdpp_tpu.models._common import FreshKeys as _Keys  # noqa: E402
 
 
 # ------------------------- building blocks --------------------------- #
@@ -198,7 +192,12 @@ class VAEEncoder:
             for res_p in block["resnets"]:
                 x = _resnet2d(res_p, x, cfg)
             if "downsample" in block:
-                x = conv2d(x, block["downsample"], stride=2, padding=((1, 1), (1, 1)))
+                # diffusers' KL-encoder Downsample2D uses downsample_padding=0
+                # with an explicit asymmetric F.pad (0,1,0,1): RIGHT/BOTTOM
+                # only. Symmetric (1,1) padding would sample a grid shifted
+                # by one pixel and break converted-checkpoint parity
+                # (tests/test_torch_block_parity.py::test_vae_encoder_downsample_padding).
+                x = conv2d(x, block["downsample"], stride=2, padding=((0, 1), (0, 1)))
         mid = params["mid"]
         x = _resnet2d(mid["resnet1"], x, cfg)
         x = _vae_attention(mid["attn"], x, cfg)

@@ -214,8 +214,11 @@ def attention(
     m = ctx.shape[1]
     d = c // heads
 
-    if m == 1:
+    if m == 1 and (context is not None or seq_axis is None):
         # Single-key cross-attention: softmax == 1 -> output is v broadcast.
+        # NOT taken for sequence-parallel self-attention: there m is the
+        # LOCAL shard length — a 1-token shard must still gather and
+        # attend over the full key set below.
         v = linear(ctx, params["to_v"])
         out = jnp.broadcast_to(v, (b, l, c))
         return linear(out, params["to_out"])

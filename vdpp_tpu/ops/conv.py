@@ -24,12 +24,9 @@ def init_conv2d(
 
 def _kernel_in(params: dict, dtype) -> jax.Array:
     """Conv kernel in compute dtype; accepts the int8 weight-only form."""
-    w = params["w"]
-    if isinstance(w, dict):
-        from vdpp_tpu.ops.quant import dequantize_weight
+    from vdpp_tpu.ops.quant import weight_for
 
-        return dequantize_weight(w, dtype)
-    return w.astype(dtype)
+    return weight_for(params, dtype)
 
 
 def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.Array:

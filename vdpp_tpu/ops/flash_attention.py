@@ -119,7 +119,8 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k_major", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k_major", "block_k", "interpret", "exp_bf16"),
 )
 def _flash_bhld(
     q: jax.Array,
@@ -129,6 +130,7 @@ def _flash_bhld(
     block_k_major: int,
     block_k: int,
     interpret: bool,
+    exp_bf16: bool = False,
 ) -> jax.Array:
     """q/k/v: (BH, L, D) -> (BH, Lq, D)."""
     bh, lq, d = q.shape
@@ -158,8 +160,6 @@ def _flash_bhld(
     # column would otherwise count them in l, so mask whenever padded.
     need_mask = lk_p != lk
 
-    import os
-
     kernel = functools.partial(
         _flash_kernel,
         kv_valid=lk,
@@ -167,7 +167,7 @@ def _flash_bhld(
         bk=block_k,
         need_mask=need_mask,
         head_dim=d,
-        exp_bf16=os.environ.get("VDPP_FLASH_EXP") == "bf16",
+        exp_bf16=exp_bf16,
     )
     out = pl.pallas_call(
         kernel,
@@ -251,5 +251,13 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
-    out = _flash_bhld(qt, kt, vt, block_q, block_k_major, block_k, interpret)
+    # The env knob must be part of the jit cache key (a static arg):
+    # read inside the traced body it would pin the FIRST call's value for
+    # every later call at the same shape.
+    import os
+
+    exp_bf16 = os.environ.get("VDPP_FLASH_EXP") == "bf16"
+    out = _flash_bhld(
+        qt, kt, vt, block_q, block_k_major, block_k, interpret, exp_bf16
+    )
     return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)

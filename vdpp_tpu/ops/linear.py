@@ -22,14 +22,9 @@ def linear(x: jax.Array, params: dict) -> jax.Array:
 
     Accepts int8 weight-only quantized params (ops/quant.py): the
     per-channel dequant multiply fuses into the weight read."""
-    w = params["w"]
-    if isinstance(w, dict):  # int8 weight-only form
-        from vdpp_tpu.ops.quant import dequantize_weight
+    from vdpp_tpu.ops.quant import weight_for
 
-        w = dequantize_weight(w, x.dtype)
-    else:
-        w = w.astype(x.dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = jnp.dot(x, weight_for(params, x.dtype), preferred_element_type=jnp.float32)
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -21,8 +21,9 @@ Design (TPU-first, exact):
   the local expert dimension) rather than ragged gathers — every shape
   is static, so the whole layer jits into one fused XLA program. The
   dense form computes each local expert over all tokens (masked), which
-  is the standard capacity-free TPU formulation; token-gather dispatch
-  is a future optimization, not a semantics change.
+  is the standard capacity-free TPU formulation; ``moe_ff_gather`` is
+  the capacity-based token-gather alternative (E-fold less compute,
+  over-capacity tokens drop).
 
 Gate math in fp32 (house rule: softmax statistics in fp32).
 """
@@ -69,6 +70,34 @@ def init_moe_ff(
     }
 
 
+
+def _route(params: dict, x, num_experts: int, expert_axis: str | None):
+    """Shared routing preamble of both dispatch forms: fp32 gate softmax,
+    dequantized expert weights, local-shard extent and offset. Any change
+    to routing (top-k, jitter, renorm) lives HERE so the documented
+    moe_ff == moe_ff_gather exactness contract cannot drift."""
+    from vdpp_tpu.ops.quant import weight_for
+
+    # Replicated gate: every device routes identically (fp32 routing,
+    # dequantized if the tree was int8-quantized).
+    logits = jnp.dot(
+        x.astype(jnp.float32), weight_for(params["gate"], jnp.float32)
+    )  # (B, L, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    w_in = weight_for(params, x.dtype, "w_in")
+    w_out = weight_for(params, x.dtype, "w_out")
+    e_local = w_in.shape[0]
+    if expert_axis is None and e_local != num_experts:
+        raise ValueError(
+            f"single-device call needs all {num_experts} experts, got {e_local}"
+        )
+    off = (
+        jax.lax.axis_index(expert_axis) * e_local if expert_axis is not None else 0
+    )
+    return probs, w_in, params["b_in"], w_out, params["b_out"], e_local, off
+
+
 def moe_ff(
     params: dict,
     x: jax.Array,
@@ -83,38 +112,19 @@ def moe_ff(
             expert weights sharded on their leading dimension (the gate
             stays replicated); None for the single-device dense form.
     """
-    from vdpp_tpu.ops.quant import weight_for
-
     b, l, d = x.shape
-    # Replicated gate: every device routes identically (fp32 routing,
-    # dequantized if the tree was int8-quantized).
-    logits = jnp.dot(
-        x.astype(jnp.float32), weight_for(params["gate"], jnp.float32)
-    )  # (B, L, E)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs, w_in, b_in, w_out, b_out, e_local, off = _route(
+        params, x, num_experts, expert_axis
+    )
     # (B, L, E): top-1 probability at the argmax column, 0 elsewhere.
     # one_hot of argmax (not a ==max compare) so ties route to exactly
     # one expert — deterministic across shardings.
     combine = jax.nn.one_hot(
         jnp.argmax(probs, axis=-1), num_experts, dtype=jnp.float32
     ) * jnp.max(probs, axis=-1, keepdims=True)
-
-    w_in, b_in = params["w_in"], params["b_in"]
-    w_out = params["w_out"]
-    if isinstance(w_in, dict):  # int8 weight-only form (ops/quant.py)
-        from vdpp_tpu.ops.quant import dequantize_weight
-
-        w_in = dequantize_weight(w_in, x.dtype)
-        w_out = dequantize_weight(w_out, x.dtype)
-    e_local = w_in.shape[0]
     if expert_axis is not None:
-        # This shard owns experts [idx*e_local, (idx+1)*e_local).
-        off = jax.lax.axis_index(expert_axis) * e_local
+        # This shard owns experts [off, off + e_local).
         combine = jax.lax.dynamic_slice_in_dim(combine, off, e_local, axis=2)
-    elif e_local != num_experts:
-        raise ValueError(
-            f"single-device call needs all {num_experts} experts, got {e_local}"
-        )
 
     xd = x.astype(w_in.dtype)
     h = jnp.einsum("bld,edi->ebli", xd, w_in, preferred_element_type=jnp.float32)
@@ -123,7 +133,7 @@ def moe_ff(
     o = jnp.einsum(
         "ebli,eid->ebld", h, w_out, preferred_element_type=jnp.float32
     )
-    o = o + params["b_out"][:, None, None, :].astype(jnp.float32)
+    o = o + b_out[:, None, None, :].astype(jnp.float32)
     out = jnp.einsum("ebld,ble->bld", o, combine.astype(jnp.float32))
     if expert_axis is not None:
         out = jax.lax.psum(out, expert_axis)
@@ -152,32 +162,13 @@ def moe_ff_gather(
 
     Same parameter layout and expert-axis contract as :func:`moe_ff`.
     """
-    from vdpp_tpu.ops.quant import weight_for
-
     b, l, d = x.shape
     t = b * l
-    logits = jnp.dot(
-        x.astype(jnp.float32), weight_for(params["gate"], jnp.float32)
+    probs, w_in, b_in, w_out, b_out, e_local, off = _route(
+        params, x, num_experts, expert_axis
     )
-    probs = jax.nn.softmax(logits, axis=-1)
     assign = jnp.argmax(probs, axis=-1).reshape(t)  # (T,) in [0, E)
     gatev = jnp.max(probs, axis=-1).reshape(t)  # (T,) combine weight
-
-    w_in, b_in = params["w_in"], params["b_in"]
-    w_out, b_out = params["w_out"], params["b_out"]
-    if isinstance(w_in, dict):
-        from vdpp_tpu.ops.quant import dequantize_weight
-
-        w_in = dequantize_weight(w_in, x.dtype)
-        w_out = dequantize_weight(w_out, x.dtype)
-    e_local = w_in.shape[0]
-    if expert_axis is None and e_local != num_experts:
-        raise ValueError(
-            f"single-device call needs all {num_experts} experts, got {e_local}"
-        )
-    off = (
-        jax.lax.axis_index(expert_axis) * e_local if expert_axis is not None else 0
-    )
 
     cap = int(-(-t * capacity_factor // num_experts))  # ceil, static
     cap = min(cap, t)

@@ -42,10 +42,12 @@ def is_quantized(params: dict) -> bool:
     return isinstance(params.get("w"), dict) and "q" in params["w"]
 
 
-def weight_for(params: dict, dtype) -> jax.Array:
-    """The weight of a {"w": ...} param dict in compute dtype, whether
-    the stored form is float or int8-quantized."""
-    w = params["w"]
+def weight_for(params: dict, dtype, key: str = "w") -> jax.Array:
+    """The ``key`` weight of a param dict in compute dtype, whether the
+    stored form is float or int8-quantized — the ONE dispatch point for
+    the quantized representation (linear/conv/MoE all route through it).
+    """
+    w = params[key]
     if isinstance(w, dict) and "q" in w:
         return dequantize_weight(w, dtype)
     return w.astype(dtype)
