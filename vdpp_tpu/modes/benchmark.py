@@ -173,6 +173,11 @@ def main(argv=None) -> int:
     setup_logging(args.log_level)
     enable_persistent_cache()
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
+    if getattr(args, "weights_int8", False) and args.model == "dummy":
+        raise SystemExit(
+            "--weights-int8 needs the svd/dit model families (DummyUNet's "
+            "OIDHW conv layout has no int8 dispatch)"
+        )
     if getattr(args, "weights_int8", False):
         from vdpp_tpu.ops.quant import param_bytes, quantize_tree
 
@@ -197,12 +202,26 @@ def main(argv=None) -> int:
         mesh = make_data_mesh(args.num_stages)
         world = mesh.shape["data"]
         runner = FSDPRunner(mesh, step_fn, args.total_steps)
-        # warmup (compile)
-        jax.block_until_ready(runner.run(bundle, inputs[: args.warmup_samples or 1]))
+        # Warm the TIMED (1, ...) shape; with --warmup-samples 0 a
+        # synthetic sample warms the compile so no measured input is ever
+        # dispatched twice (remote-relay dedup, CLAUDE.md caveat).
+        if args.warmup_samples:
+            for i in range(args.warmup_samples):
+                jax.block_until_ready(runner.run(bundle, inputs[i : i + 1]))
+        else:
+            warm = jax.random.normal(
+                jax.random.key(args.seed + 4), (1, *inputs.shape[1:]),
+                inputs.dtype,
+            )
+            jax.block_until_ready(runner.run(bundle, warm))
         per_sample = []
         for i in range(args.num_samples):
+            # Fresh inputs per timed call (never re-timing a warmup
+            # sample): repeated-identical dispatches can be deduplicated
+            # by the remote relay and report ~0 ms (CLAUDE.md caveat).
+            j = args.warmup_samples + i
             t0 = time.perf_counter()
-            jax.block_until_ready(runner.run(bundle, inputs[i : i + 1]))
+            jax.block_until_ready(runner.run(bundle, inputs[j : j + 1]))
             per_sample.append(time.perf_counter() - t0)
         first = per_sample[0]
         steady = sum(per_sample) / len(per_sample)
@@ -273,14 +292,19 @@ def main(argv=None) -> int:
             mode += f"_x_ep{ep}"
         if args.fused:
             # compile both shapes (the fill probe uses one sample per data
-            # column so its N is divisible by dp)
+            # column so its N is divisible by dp), then time FRESH inputs:
+            # re-dispatching the warmup arrays byte-identically can be
+            # deduplicated by the remote relay (~0 ms; CLAUDE.md caveat).
             jax.block_until_ready(pipe.run(bundle, inputs[:dp]))
             jax.block_until_ready(pipe.run(bundle, inputs))
+            fresh = jax.random.normal(
+                jax.random.key(args.seed + 3), inputs.shape, inputs.dtype
+            )
             t0 = time.perf_counter()
-            jax.block_until_ready(pipe.run(bundle, inputs[:dp]))
+            jax.block_until_ready(pipe.run(bundle, fresh[:dp]))
             first = time.perf_counter() - t0
             t0 = time.perf_counter()
-            jax.block_until_ready(pipe.run(bundle, inputs))
+            jax.block_until_ready(pipe.run(bundle, fresh))
             total = time.perf_counter() - t0
             # steady state emits dp samples per pipeline tick-period
             steady = (total - first) / max(total_n - dp, 1)
@@ -344,8 +368,9 @@ def main(argv=None) -> int:
                 0.0
                 if args.fsdp
                 else round(
-                    (world - 1)
-                    / (total_n // args.data_parallel_size + world - 1),
+                    pipe.config.bubble_fraction(
+                        total_n // args.data_parallel_size
+                    ),
                     4,
                 )
             ),

@@ -124,9 +124,14 @@ def main(argv=None) -> int:
 
     # Per-sample seeded noise x init_noise_sigma
     # (reference: src/modes/production.py:127-132).
+    if c != 4:
+        # The SVD UNet denoises 4 latent channels (the other 4 of its
+        # 8-channel input are the conditioning concat); an unsupported C
+        # must fail loudly, not silently run with 4.
+        raise SystemExit(f"--latent-shape C must be 4 for the SVD family, got {c}")
     keys = jax.random.split(jax.random.key(args.seed + 2), args.num_samples)
     inputs = (
-        jax.vmap(lambda k: jax.random.normal(k, (b, f, h, w, 4), jnp.float32))(keys)
+        jax.vmap(lambda k: jax.random.normal(k, (b, f, h, w, c), jnp.float32))(keys)
         * model.init_noise_sigma
     )
 

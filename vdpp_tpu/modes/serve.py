@@ -31,6 +31,7 @@ import argparse
 import io
 import json
 import logging
+import os
 import sys
 import threading
 import time
@@ -104,8 +105,6 @@ class _Engine:
             self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps)
         self.vae_dec = TemporalVAEDecoder(self.vae_cfg)
         if args.checkpoint:
-            import os
-
             from vdpp_tpu.utils.weights import load_params
 
             name = "dit.npz" if self.is_dit else "unet.npz"
@@ -134,8 +133,18 @@ class _Engine:
         )
         self.lock = threading.Lock()  # stream creation + counters
         self.requests_served = 0
-        self._streams: dict = {}  # conditioning key -> PipelineStream
-        self._ctx_cache: dict = {}  # prompt -> T5 tokens context
+        # LRU-bounded caches: every distinct conditioning key creates a
+        # PipelineStream (driver thread + S donated device buffers) and
+        # every distinct prompt a T5 context — unbounded growth from
+        # client-controlled inputs would be a trivial resource exhaustion
+        # on a long-lived endpoint. Oldest-used entries are evicted (and
+        # streams closed) past the caps.
+        self.max_streams = int(os.environ.get("VDPP_SERVE_MAX_STREAMS", "4"))
+        self.max_ctx_cache = int(os.environ.get("VDPP_SERVE_MAX_PROMPTS", "32"))
+        from collections import OrderedDict
+
+        self._streams: OrderedDict = OrderedDict()  # key -> PipelineStream
+        self._ctx_cache: OrderedDict = OrderedDict()  # prompt -> T5 context
         LOGGER.info(
             "engine ready: %s, %d stages, %d steps",
             args.model, self.stages, args.steps,
@@ -146,6 +155,7 @@ class _Engine:
         cached per prompt."""
         with self.lock:
             if prompt in self._ctx_cache:
+                self._ctx_cache.move_to_end(prompt)
                 return self._ctx_cache[prompt]
         from vdpp_tpu.models.t5_encoder import hash_tokenize
 
@@ -157,6 +167,8 @@ class _Engine:
         ).astype(self.jnp.float32)
         with self.lock:
             self._ctx_cache[prompt] = ctx
+            while len(self._ctx_cache) > self.max_ctx_cache:
+                self._ctx_cache.popitem(last=False)
         return ctx
 
     def _get_stream(self, num_frames: int, guidance: float | None,
@@ -169,6 +181,7 @@ class _Engine:
         key = (num_frames, guidance, prompt if self.is_dit else None)
         with self.lock:
             if key in self._streams:
+                self._streams.move_to_end(key)
                 return self._streams[key]
         if self.is_dit:
             from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
@@ -185,10 +198,17 @@ class _Engine:
             )
             bundle = (self.params, cond)
         stream = self.pipe.stream(bundle, (1, num_frames, h, w, 4), jnp.float32)
+        evicted = []
         with self.lock:
             winner = self._streams.setdefault(key, stream)
+            self._streams.move_to_end(key)
+            while len(self._streams) > self.max_streams:
+                _, old = self._streams.popitem(last=False)
+                evicted.append(old)
         if winner is not stream:  # lost a concurrent creation race
             stream.close()
+        for old in evicted:  # close outside the lock (joins the driver)
+            old.close()
         return winner
 
     def generate(self, seed: int, num_frames: int, guidance: float | None,

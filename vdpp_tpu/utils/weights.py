@@ -95,7 +95,10 @@ def load_params(path: str, dtype=None) -> dict:
         if k.startswith("__bf16__"):
             k = k[len("__bf16__"):]
             arr = arr.view(jnp.bfloat16)
-        if dtype is not None and np.issubdtype(np.asarray(arr).dtype, np.floating):
+        # jnp.floating, not np.floating: ml_dtypes' bfloat16 (the primary
+        # stored format) is NOT a np.floating subtype, so the np check
+        # silently skipped the cast for bf16 leaves.
+        if dtype is not None and jnp.issubdtype(np.asarray(arr).dtype, jnp.floating):
             arr = np.asarray(arr, dtype)
         flat[k] = jnp.asarray(arr)
     return unflatten_params(flat)
@@ -511,6 +514,8 @@ def convert_clip_state_dict(
                 "mlp_out": sd.linear(base + ".mlp.fc2"),
             }
         )
+    if strict and sd.unused():
+        raise ValueError(f"unconverted CLIP keys: {sd.unused()[:10]} ...")
     return params
 
 
