@@ -152,11 +152,16 @@ def measure_config(
         jax.block_until_ready(compiled(bundle, noise_i))
         times.append(time.perf_counter() - t0)
         log(f"[{label}] video {i}: {times[-1]:.2f}s")
-        if len(times) >= min_videos:
+        if len(times) >= max(min_videos, 2):
             a, b = times[-2], times[-1]
             if abs(a - b) / max(a, b) <= 0.10:
                 stable = True
                 break
+        elif min_videos <= 1 and times:
+            # VDPP_BENCH_VIDEOS=1: accept a single measurement (no
+            # stability pair to compare).
+            stable = True
+            break
     tail = times[-2:] if stable else times
     sec_per_video = sum(tail) / len(tail)
     log(
@@ -184,16 +189,27 @@ def main() -> None:
     guidance = float(os.environ.get("VDPP_BENCH_GUIDANCE", 3.0))
     cfg_mode = os.environ.get("VDPP_BENCH_CFG_MODE", "sequential")
     secondary = os.environ.get("VDPP_BENCH_SECONDARY", "1") == "1"
+    # The default baseline is the reference's measured 14f/25-step time
+    # linearly extrapolated by frames*steps — rescale it when env knobs
+    # change the measured config, so vs_baseline stays a same-config ratio
+    # (a fixed 25f/30-step constant against e.g. a 14f run would inflate
+    # the ratio ~2x).
+    default_baseline = SECONDARY_BASELINE_SEC * (frames * steps) / (14 * 25)
     baseline_sec = float(
-        os.environ.get("VDPP_BENCH_BASELINE_SEC", FLAGSHIP_BASELINE_SEC)
+        os.environ.get("VDPP_BENCH_BASELINE_SEC", default_baseline)
     )
 
     if preset == "tiny":
         config = SVDUNetConfig.tiny()
         frames, lat_h, lat_w, steps = 3, 16, 16, 4
         secondary = False
+        # The tiny model is a smoke-test architecture; no reference config
+        # corresponds to it, so a frames*steps-rescaled baseline would
+        # still be a cross-model ratio. Report 0 (not comparable).
+        baseline_override = 0.0
     else:
         config = SVDUNetConfig.svd_xt()
+        baseline_override = None
 
     dev = jax.devices()[0]
     log(f"device: {dev}, platform: {dev.platform}")
@@ -233,7 +249,10 @@ def main() -> None:
         ),
         "value": round(sec_per_video, 3),
         "unit": "s/video",
-        "vs_baseline": round(baseline_sec / sec_per_video, 3),
+        "vs_baseline": (
+            0.0 if baseline_override == 0.0
+            else round(baseline_sec / sec_per_video, 3)
+        ),
     }
     print(json.dumps(result), flush=True)
 

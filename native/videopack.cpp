@@ -136,28 +136,40 @@ void median_cut_palette(const uint8_t* rgb, size_t n_px, size_t stride_px,
         const uint8_t* p = rgb + i * 3;
         samples.push_back({p[0], p[1], p[2]});
     }
-    struct Box { size_t begin, end; };
-    std::vector<Box> boxes{{0, samples.size()}};
+    // Each box caches its widest channel range: a split creates exactly
+    // two new boxes, so only those are re-scanned — without the cache
+    // every one of the 255 split iterations re-scanned ALL samples in
+    // ALL boxes (~255 full passes over the subsampled image).
+    struct Box { size_t begin, end; int range, ch; };
+    auto compute_stats = [&](Box& bx) {
+        bx.range = 0;
+        bx.ch = 0;
+        if (bx.end - bx.begin < 2) return;  // unsplittable
+        int lo[3] = {255, 255, 255}, hi[3] = {0, 0, 0};
+        for (size_t i = bx.begin; i < bx.end; ++i)
+            for (int c = 0; c < 3; ++c) {
+                lo[c] = std::min<int>(lo[c], samples[i][c]);
+                hi[c] = std::max<int>(hi[c], samples[i][c]);
+            }
+        for (int c = 0; c < 3; ++c)
+            if (hi[c] - lo[c] > bx.range) {
+                bx.range = hi[c] - lo[c];
+                bx.ch = c;
+            }
+    };
+    std::vector<Box> boxes{{0, samples.size(), 0, 0}};
+    compute_stats(boxes[0]);
     while (boxes.size() < 256) {
-        // pick the box with the widest channel range (and >1 sample)
-        int best = -1, best_ch = 0, best_range = -1;
-        for (size_t b = 0; b < boxes.size(); ++b) {
-            if (boxes[b].end - boxes[b].begin < 2) continue;
-            int lo[3] = {255, 255, 255}, hi[3] = {0, 0, 0};
-            for (size_t i = boxes[b].begin; i < boxes[b].end; ++i)
-                for (int c = 0; c < 3; ++c) {
-                    lo[c] = std::min<int>(lo[c], samples[i][c]);
-                    hi[c] = std::max<int>(hi[c], samples[i][c]);
-                }
-            for (int c = 0; c < 3; ++c)
-                if (hi[c] - lo[c] > best_range) {
-                    best_range = hi[c] - lo[c];
-                    best = static_cast<int>(b);
-                    best_ch = c;
-                }
-        }
-        if (best < 0 || best_range <= 0) break;  // nothing splittable
+        // pick the box with the widest cached channel range
+        int best = -1, best_range = 0;
+        for (size_t b = 0; b < boxes.size(); ++b)
+            if (boxes[b].range > best_range) {
+                best_range = boxes[b].range;
+                best = static_cast<int>(b);
+            }
+        if (best < 0) break;  // nothing splittable
         Box bx = boxes[best];
+        int best_ch = bx.ch;
         size_t mid = (bx.begin + bx.end) / 2;
         std::nth_element(
             samples.begin() + bx.begin, samples.begin() + mid,
@@ -166,8 +178,11 @@ void median_cut_palette(const uint8_t* rgb, size_t n_px, size_t stride_px,
                       const std::array<uint8_t, 3>& b) {
                 return a[best_ch] < b[best_ch];
             });
-        boxes[best] = {bx.begin, mid};
-        boxes.push_back({mid, bx.end});
+        Box left{bx.begin, mid, 0, 0}, right{mid, bx.end, 0, 0};
+        compute_stats(left);
+        compute_stats(right);
+        boxes[best] = left;
+        boxes.push_back(right);
     }
     for (size_t b = 0; b < 256; ++b) {
         if (b < boxes.size() && boxes[b].end > boxes[b].begin) {

@@ -17,14 +17,15 @@ echo "mode,devices,model,total_steps,num_samples,first_sample_s,avg_sample_s,thr
 
 export XLA_FLAGS="${XLA_FLAGS:---xla_force_host_platform_device_count=8}"
 
+# The CSV mode label comes from the BENCHMARK_JSON itself (r["mode"]).
 append_row() {
-  python - "$1" "$CSV" <<EOF
+  python - "$CSV" <<EOF
 import json, sys
-r = json.loads('''$2''')
+r = json.loads('''$1''')
 row = [r["mode"], r["world_size"], r["model"], r["total_steps"],
        r["num_samples_measured"], r["first_sample_time_s"],
        r["avg_sample_time_s"], r["throughput_samples_per_s"]]
-with open(sys.argv[2], "a") as f:
+with open(sys.argv[1], "a") as f:
     f.write(",".join(str(x) for x in row) + "\n")
 EOF
 }
@@ -35,14 +36,14 @@ for NDEV in 1 2 4 8; do
       --backend "$BACKEND" --model "$MODEL" --num-stages "$NDEV" \
       --total-steps "$STEPS" --num-samples "$SAMPLES" --warmup-samples 1 \
       2>/dev/null | grep '^BENCHMARK_JSON=' | sed 's/^BENCHMARK_JSON=//')
-  append_row pp "$PP"
+  append_row "$PP"
 
   echo "=== $NDEV devices: data-parallel ===" >&2
   DP=$(python -m vdpp_tpu.modes.benchmark_data_parallel \
       --backend "$BACKEND" --model "$MODEL" --num-devices "$NDEV" \
       --total-steps "$STEPS" --num-samples "$SAMPLES" \
       2>/dev/null | grep '^BENCHMARK_JSON=' | sed 's/^BENCHMARK_JSON=//')
-  append_row dp "$DP"
+  append_row "$DP"
 done
 
 echo "wrote $CSV" >&2

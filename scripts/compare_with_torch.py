@@ -122,6 +122,11 @@ def main():
     print(f"step-0 parity: mean|diff|={diff.mean():.3e} max|diff|={diff.max():.3e}")
 
     if args.full_schedule:
+        # Real diffusers' EulerDiscreteScheduler is STATEFUL: the step-0
+        # parity block above advanced its internal _step_index, so without
+        # a reset the full-schedule loop would run on shifted sigmas and
+        # finally index past the sigma table. set_timesteps resets it.
+        sched.set_timesteps(args.steps)
         x_j = latent_j
         x_t = latent_t
         for s in range(args.steps):

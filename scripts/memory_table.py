@@ -55,9 +55,6 @@ def main(argv=None) -> int:
 
     # A 1-axis abstract mesh stand-in: sharded_size_bytes only needs the
     # axis size, via mesh.shape lookups.
-    class _MeshShape(dict):
-        pass
-
     class _Mesh:
         shape = {"data": args.devices}
 

@@ -59,14 +59,28 @@ def main():
         # variant grammar: attn=<impl>[+notemporal] or legacy full_<impl>
         os.environ.pop("VDPP_ABLATE_TEMPORAL", None)
         os.environ.pop("VDPP_ABLATE_TEMPORAL_ATTN", None)
-        v = variant
-        if v.endswith("+notemporal"):
-            os.environ["VDPP_ABLATE_TEMPORAL"] = "1"
-            v = v[: -len("+notemporal")]
-        if v.endswith("+noteattn"):
-            os.environ["VDPP_ABLATE_TEMPORAL_ATTN"] = "1"
-            v = v[: -len("+noteattn")]
-        impl = v.split("_", 1)[1] if "_" in v else v
+        # Grammar: (attn=<impl>|full_<impl>)[+notemporal][+noteattn] in
+        # any suffix order.
+        parts = variant.split("+")
+        v = parts[0]
+        for suffix in parts[1:]:
+            if suffix == "notemporal":
+                os.environ["VDPP_ABLATE_TEMPORAL"] = "1"
+            elif suffix == "noteattn":
+                os.environ["VDPP_ABLATE_TEMPORAL_ATTN"] = "1"
+            else:
+                raise SystemExit(f"unknown variant suffix {suffix!r}")
+        if v.startswith("attn="):
+            impl = v[len("attn="):]
+        elif v.startswith("full_"):
+            impl = v[len("full_"):]
+        else:
+            impl = v
+        known = {"pallas", "xla", "naive", "identity", "splash"}
+        if impl not in known:
+            # attention.py silently falls through to the pallas kernel for
+            # unknown strings — a typo would mislabel the measurement.
+            raise SystemExit(f"unknown attention impl {impl!r}; one of {sorted(known)}")
         os.environ["VDPP_ATTN_IMPL"] = impl
 
         # Tunnel-safe timing: params passed as an argument (not 3 GB of
