@@ -191,18 +191,22 @@ def test_gather_dispatch_drops_beyond_capacity(moe_params, tokens):
 
 
 def test_dit_moe_gather_dispatch_in_model(monkeypatch):
-    """VDPP_MOE_DISPATCH=gather runs inside the DiT forward; at full
-    capacity it equals the dense-dispatch forward."""
+    """The MoE dispatch knobs bind at WRAPPER CONSTRUCTION (trace-time env
+    reads would be silently pinned by the jit cache); a gather-dispatch
+    wrapper at full capacity equals the dense-dispatch wrapper."""
     from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
 
     wrapper = DiTVideoWrapper(DiTVideoConfig.moe_tiny(), num_steps=2)
+    assert wrapper.moe_dispatch == "dense"
     params = wrapper.init(jax.random.key(5))
     ctx = jax.random.normal(jax.random.key(6), (1, 2, 16), jnp.float32)
     lat = jax.random.normal(jax.random.key(7), (1, 4, 8, 8, 4), jnp.float32)
     dense = wrapper.step(params, lat, 0, ctx)
     monkeypatch.setenv("VDPP_MOE_DISPATCH", "gather")
     monkeypatch.setenv("VDPP_MOE_CAPACITY", "4")  # == num_experts: no drops
-    gather = wrapper.step(params, lat, 0, ctx)
+    gather_wrapper = DiTVideoWrapper(DiTVideoConfig.moe_tiny(), num_steps=2)
+    assert gather_wrapper.moe_dispatch == "gather"
+    gather = gather_wrapper.step(params, lat, 0, ctx)
     np.testing.assert_allclose(
         np.asarray(gather), np.asarray(dense), rtol=1e-5, atol=1e-5
     )

@@ -135,7 +135,8 @@ def _modulate(x, shift, scale):
 
 def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
            heads: int, seq_axis: str | None = None,
-           expert_axis: str | None = None) -> jax.Array:
+           expert_axis: str | None = None, moe_dispatch: str = "dense",
+           moe_capacity: float = 2.0) -> jax.Array:
     """x: (B', L, D); c_emb: (B', D) conditioning embedding."""
     ada = linear(jax.nn.silu(c_emb.astype(jnp.float32)).astype(c_emb.dtype), p["ada"])
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(ada, 6, axis=-1)
@@ -146,18 +147,16 @@ def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
         x = x + attention(h, p["cross_attn"], heads=heads, context=ctx)
     h = _modulate(layer_norm(x, p["norm2"]), sh2, sc2)
     if "moe" in p:
-        import os
-
         from vdpp_tpu.ops.moe import moe_ff, moe_ff_gather
 
         gw = p["moe"]["gate"]["w"]
         num_experts = (gw["q"] if isinstance(gw, dict) else gw).shape[-1]
-        if os.environ.get("VDPP_MOE_DISPATCH") == "gather":
+        if moe_dispatch == "gather":
             # Capacity-based token-gather (E-fold less compute; drops
             # over-capacity tokens — see ops/moe.py docstring).
             ff = moe_ff_gather(
                 p["moe"], h, num_experts, expert_axis=expert_axis,
-                capacity_factor=float(os.environ.get("VDPP_MOE_CAPACITY", "2.0")),
+                capacity_factor=moe_capacity,
             )
         else:
             ff = moe_ff(p["moe"], h, num_experts, expert_axis=expert_axis)
@@ -242,6 +241,8 @@ class DiTVideo:
         seq_axis: str | None = None,
         seq_shards: int = 1,
         expert_axis: str | None = None,
+        moe_dispatch: str = "dense",
+        moe_capacity: float = 2.0,
     ) -> jax.Array:
         """latent (B, F, H, W, C) -> (B, F, H, W, C_out).
 
@@ -318,7 +319,8 @@ class DiTVideo:
             ctx_b = context.astype(cfg.dtype) if context is not None else None
             for blk in params["blocks"]:
                 x = _block(blk, x, c_emb, ctx_b, cfg.num_heads,
-                           seq_axis=seq_axis, expert_axis=expert_axis)
+                           seq_axis=seq_axis, expert_axis=expert_axis,
+                           moe_dispatch=moe_dispatch, moe_capacity=moe_capacity)
             # Head in the (B, L, D) layout (identical math to (B*F, N, D) —
             # the modulation is per batch element), then reassemble tokens.
             x = final_head(x, c_emb)
@@ -333,7 +335,8 @@ class DiTVideo:
                 if i % 2 == 0:
                     # spatial: tokens within a frame
                     x = _block(blk, x, c_f, ctx_f, cfg.num_heads,
-                               seq_axis=seq_axis, expert_axis=expert_axis)
+                               seq_axis=seq_axis, expert_axis=expert_axis,
+                               moe_dispatch=moe_dispatch, moe_capacity=moe_capacity)
                 else:
                     # temporal: frame mixing in the resident layout (no
                     # physical (B*N, F, D) transpose — see _temporal_block).
@@ -370,9 +373,17 @@ class DiTVideoWrapper:
         sigma_min: float = 0.002,
         sigma_max: float = 700.0,
     ):
+        import os
+
         self.config = config or DiTVideoConfig.latte_xl()
         self.model = DiTVideo(self.config)
         self.schedule = EulerKarrasSchedule.create(num_steps, sigma_min, sigma_max)
+        # MoE dispatch knobs resolve ONCE here, not at trace time: read
+        # inside the jitted body, a cached program would silently keep the
+        # first call's value (the VDPP_FLASH_EXP bug class). Construct a
+        # new wrapper to change them.
+        self.moe_dispatch = os.environ.get("VDPP_MOE_DISPATCH", "dense")
+        self.moe_capacity = float(os.environ.get("VDPP_MOE_CAPACITY", "2.0"))
 
     @property
     def init_noise_sigma(self) -> float:
@@ -394,6 +405,8 @@ class DiTVideoWrapper:
                 params, scaled, timestep, ctx,
                 seq_axis=seq_axis, seq_shards=seq_shards,
                 expert_axis=expert_axis,
+                moe_dispatch=self.moe_dispatch,
+                moe_capacity=self.moe_capacity,
             )
 
         lat32 = latent.astype(jnp.float32)

@@ -217,7 +217,18 @@ class TemporalVAEDecoder:
     """Video decoder: spatio-temporal ResNets + final temporal conv."""
 
     def __init__(self, config: VAEConfig):
+        import threading
+
         self.config = config
+        # decode_data_parallel caches (built eagerly: lazy hasattr-gated
+        # init raced under serve's concurrent HTTP handler threads).
+        self._dp_jit = jax.jit(
+            lambda p, cs: jax.vmap(lambda c: self.apply(p, c))(cs)
+        )
+        self._dp_jit_single = jax.jit(self.apply)
+        self._dp_params_key = None
+        self._dp_params = None
+        self._dp_lock = threading.Lock()
 
     def init(self, key: jax.Array) -> dict:
         cfg = self.config
@@ -322,28 +333,25 @@ class TemporalVAEDecoder:
         n_full = f // chunk_frames
         rem = f - n_full * chunk_frames
 
-        # Jitted entry points are cached on the instance: a fresh closure
-        # per call would re-trace on EVERY invocation (a measurable
-        # serving-hot-path cost), and the replicated params are re-placed
-        # only when the params tree or mesh changes.
-        if not hasattr(self, "_dp_jit"):
-            self._dp_jit = jax.jit(
-                lambda p, cs: jax.vmap(lambda c: self.apply(p, c))(cs)
-            )
-            self._dp_jit_single = jax.jit(self.apply)
-            self._dp_params_key = None
-        # Identity comparison on the live objects (not id(): a freed tree's
-        # id can be reused) — the cache holds a strong ref via the key.
-        if not (
-            self._dp_params_key is not None
-            and self._dp_params_key[0] is params
-            and self._dp_params_key[1] is mesh
-        ):
-            self._dp_params = jax.tree_util.tree_map(
-                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), params
-            )
-            self._dp_params_key = (params, mesh)
-        params_r = self._dp_params
+        # Jitted entry points are cached on the instance (a fresh closure
+        # per call would re-trace on EVERY invocation — a measurable
+        # serving-hot-path cost); the replicated params are re-placed only
+        # when the params tree or mesh changes. Identity comparison on the
+        # live objects (not id(): a freed tree's id can be reused) — the
+        # cache key holds a strong ref. Locked: serve calls this from
+        # concurrent handler threads.
+        with self._dp_lock:
+            if not (
+                self._dp_params_key is not None
+                and self._dp_params_key[0] is params
+                and self._dp_params_key[1] is mesh
+            ):
+                self._dp_params = jax.tree_util.tree_map(
+                    lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
+                    params,
+                )
+                self._dp_params_key = (params, mesh)
+            params_r = self._dp_params
 
         pieces = []
         if n_full:

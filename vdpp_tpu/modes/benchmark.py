@@ -339,9 +339,11 @@ def main(argv=None) -> int:
     program_mem = None
     if not any(peak_mem):
         if args.fsdp:
-            program_mem = runner.memory_analysis(
-                bundle, inputs[: args.warmup_samples or 1]
-            )
+            # Analyze the batch-1 program — the only one warmup/timing
+            # actually compile and run (a (warmup_samples, ...) shape
+            # would force an extra multi-minute remote compile and report
+            # a program that never executed).
+            program_mem = runner.memory_analysis(bundle, inputs[:1])
         else:
             program_mem = pipe.memory_analysis(bundle, inputs, ticked=not args.fused)
         if program_mem:

@@ -207,8 +207,10 @@ class _Engine:
                 evicted.append(old)
         if winner is not stream:  # lost a concurrent creation race
             stream.close()
-        for old in evicted:  # close outside the lock (joins the driver)
-            old.close()
+        for old in evicted:
+            # Close off-thread: close() drains the evicted stream's
+            # in-flight work, which must not stall this request.
+            threading.Thread(target=old.close, daemon=True).start()
         return winner
 
     def generate(self, seed: int, num_frames: int, guidance: float | None,
@@ -224,7 +226,16 @@ class _Engine:
         t0 = time.perf_counter()
         # Denoise through the SHARED streaming pipeline; decode outside it
         # so the next request's denoising overlaps this one's decode.
-        latents = stream.submit(noise).result(timeout=1800)
+        # The stream can be LRU-evicted (and closed) between lookup and
+        # submit under heavy key churn — re-acquire and retry.
+        for attempt in range(3):
+            try:
+                latents = stream.submit(noise).result(timeout=1800)
+                break
+            except RuntimeError:
+                if attempt == 2:
+                    raise
+                stream = self._get_stream(num_frames, guidance, prompt)
         scaled = latents / self.vae_cfg.scaling_factor
         if self.decode_mesh is not None:
             video = self.vae_dec.decode_data_parallel(

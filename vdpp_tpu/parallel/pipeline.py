@@ -454,8 +454,17 @@ class PipelineStream:
                 f"latent dtype {latent.dtype} != stream dtype {self._dtype}"
             )
         fut: Future = Future()
-        self._queue.put((latent, fut))
+        # Check-and-enqueue atomically under the condition lock: a submit
+        # racing the driver's terminal-failure drain could otherwise slip
+        # a future into the queue after the drain and never complete.
         with self._cv:
+            if self._stopped or self._failure is not None:
+                raise RuntimeError(
+                    "stream is closed"
+                    if self._failure is None
+                    else f"stream failed: {self._failure!r}"
+                )
+            self._queue.put((latent, fut))
             self._pending += 1
             self._cv.notify()
         return fut
@@ -469,6 +478,7 @@ class PipelineStream:
     # ------------------------------------------------------------------ #
     def _drive(self) -> None:
         import queue
+        from concurrent.futures import InvalidStateError
 
         def work_remains():
             return self._pending or any(f is not None for f in self._in_flight)
@@ -496,8 +506,13 @@ class PipelineStream:
                         # blocking here would insert one full host/device
                         # round trip of idle time per tick (the client's
                         # own use of the result synchronizes; async
-                        # device errors surface there).
-                        done.set_result(emitted[self._S - 1])
+                        # device errors surface there). A client may have
+                        # cancelled the future meanwhile — that must not
+                        # read as a tick failure and poison the stream.
+                        try:
+                            done.set_result(emitted[self._S - 1])
+                        except InvalidStateError:
+                            pass
                 # Once no real request is in transit, stop burning idle
                 # ticks (positional bookkeeping restarts cleanly: a future
                 # ingested later still completes exactly S ticks on).
@@ -508,7 +523,10 @@ class PipelineStream:
                 # — the stream cannot continue. Fail every waiter
                 # (including the just-popped ``done`` and anything still
                 # queued) and refuse further submits.
-                self._failure = e
+                with self._cv:
+                    self._failure = e
+                    self._stopped = True
+                    self._pending = 0
                 waiters = [fut, done] + self._in_flight
                 self._in_flight.clear()
                 while True:
@@ -517,9 +535,6 @@ class PipelineStream:
                         waiters.append(qfut)
                     except queue.Empty:
                         break
-                with self._cv:
-                    self._pending = 0
-                    self._stopped = True
                 for f in waiters:
                     if f is not None and not f.done():
                         f.set_exception(e)
