@@ -209,3 +209,16 @@ def test_generate_from_prompt(server_text):
     assert a.startswith(b"YUV4MPEG2")
     assert a == b       # same prompt + seed -> same video
     assert a != c       # the prompt conditions the DiT
+
+
+def test_metrics_endpoint(server):
+    """/metrics reports request counters and the rolling latency window
+    (exercised after the generate tests above have served requests)."""
+    with urllib.request.urlopen(server + "/metrics", timeout=10) as r:
+        data = json.loads(r.read())
+    assert data["requests_served"] >= 0
+    assert data["active_streams"] >= 0
+    lat = data["latency_s"]
+    assert set(lat) == {"mean", "p50", "p95", "max"}
+    assert lat["p95"] >= lat["p50"] >= 0.0
+    assert 0 <= data["window"] <= 512  # bounded rolling window

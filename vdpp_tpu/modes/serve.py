@@ -14,6 +14,7 @@ never queue behind decode work on the stage devices.
                      "prompt": "...", "format": "y4m"|"gif"}
         -> video bytes (y4m/gif via the native C++ packer)
     GET  /healthz   -> {"status": "ok", ...}
+    GET  /metrics   -> request counters + rolling latency distribution
 
 ``--model svd`` (default) serves the image-conditioned SVD UNet;
 ``--model dit3d`` serves the T5-text-conditioned joint-3D DiT — the
@@ -145,6 +146,10 @@ class _Engine:
 
         self._streams: OrderedDict = OrderedDict()  # key -> PipelineStream
         self._ctx_cache: OrderedDict = OrderedDict()  # prompt -> T5 context
+        # Rolling request-latency window for /metrics (bounded).
+        from collections import deque
+
+        self._latencies: deque = deque(maxlen=512)
         LOGGER.info(
             "engine ready: %s, %d stages, %d steps",
             args.model, self.stages, args.steps,
@@ -247,7 +252,34 @@ class _Engine:
         elapsed = time.perf_counter() - t0
         with self.lock:
             self.requests_served += 1
+            self._latencies.append(elapsed)
         return video[0], elapsed  # (F, H, W, 3)
+
+    def metrics(self) -> dict:
+        """Operational counters + latency distribution over a rolling
+        512-request window (the reference has no serving surface at all;
+        this is the observability contract of a long-lived endpoint)."""
+        with self.lock:
+            lats = sorted(self._latencies)
+            n_streams = len(self._streams)
+            served = self.requests_served
+
+        def pct(p: float) -> float:
+            if not lats:
+                return 0.0
+            return lats[min(int(p * (len(lats) - 1)), len(lats) - 1)]
+
+        return {
+            "requests_served": served,
+            "active_streams": n_streams,
+            "window": len(lats),
+            "latency_s": {
+                "mean": sum(lats) / len(lats) if lats else 0.0,
+                "p50": pct(0.50),
+                "p95": pct(0.95),
+                "max": lats[-1] if lats else 0.0,
+            },
+        }
 
 
 def _make_handler(engine: _Engine, fps: int):
@@ -277,6 +309,8 @@ def _make_handler(engine: _Engine, fps: int):
                     "decode_devices": engine.args.decode_devices,
                     "requests_served": engine.requests_served,
                 })
+            elif self.path == "/metrics":
+                self._json(200, engine.metrics())
             else:
                 self._json(404, {"error": "unknown path"})
 
