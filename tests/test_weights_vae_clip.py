@@ -156,3 +156,46 @@ def test_clip_roundtrip_and_forward():
     np.testing.assert_array_equal(
         np.asarray(enc.apply(p, px)), np.asarray(enc.apply(p2, px))
     )
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """python -m vdpp_tpu.utils.weights <hf_dir> <out>: end-to-end on a
+    synthetic safetensors checkpoint (tiny VAE exported through the
+    inverse mapping), plus the empty-dir error path."""
+    import numpy as np
+    import subprocess
+    import sys
+
+    from safetensors.numpy import save_file
+
+    from vdpp_tpu.models.vae import TemporalVAEDecoder, VAEConfig, VAEEncoder
+    from vdpp_tpu.utils.weights import load_params
+
+    cfg = VAEConfig.tiny()
+    ep = VAEEncoder(cfg).init(jax.random.key(0))
+    dp = TemporalVAEDecoder(cfg).init(jax.random.key(1))
+    # ascontiguousarray: safetensors serializes the raw buffer, so the
+    # exporter's transposed VIEWS must be materialized before save_file.
+    sd = {k: np.ascontiguousarray(np.asarray(v, np.float32))
+          for k, v in export_vae_torch_style(ep, dp).items()}
+    hf_dir = tmp_path / "ckpt"
+    (hf_dir / "vae").mkdir(parents=True)
+    save_file(sd, str(hf_dir / "vae" / "diffusion_pytorch_model.safetensors"))
+
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "vdpp_tpu.utils.weights", str(hf_dir),
+         str(out_dir), "--dtype", "float32"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out_dir / "vae_encoder.npz").exists()
+    dec = load_params(str(out_dir / "vae_decoder.npz"))
+    _assert_trees_equal(dec, dp)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "vdpp_tpu.utils.weights",
+         str(tmp_path / "empty"), str(out_dir)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r2.returncode == 1

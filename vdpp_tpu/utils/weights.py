@@ -596,8 +596,25 @@ def convert_svd_checkpoint(
 
     vae_sd = load_dir("vae")
     if vae_sd:
-        enc = convert_vae_encoder_state_dict(vae_sd, strict=False)
-        dec = convert_vae_decoder_state_dict(vae_sd, strict=False)
+        # Infer the block layout from the checkpoint keys instead of
+        # assuming the full-size SVD VAE (tiny/test checkpoints differ).
+        lv = 1 + max(
+            (int(m.group(1)) for k in vae_sd
+             if (m := re.match(r"encoder\.down_blocks\.(\d+)\.", k))),
+            default=3,
+        )
+        lpb = 1 + max(
+            (int(m.group(1)) for k in vae_sd
+             if (m := re.match(
+                 r"encoder\.down_blocks\.0\.resnets\.(\d+)\.", k))),
+            default=1,
+        )
+        enc = convert_vae_encoder_state_dict(
+            vae_sd, num_levels=lv, layers_per_block=lpb, strict=False
+        )
+        dec = convert_vae_decoder_state_dict(
+            vae_sd, num_levels=lv, layers_per_block=lpb, strict=False
+        )
         written["vae_encoder"] = save_params(
             enc, os.path.join(out_dir, "vae_encoder.npz")
         )
@@ -610,3 +627,33 @@ def convert_svd_checkpoint(
         clip = convert_clip_state_dict(clip_sd)
         written["clip"] = save_params(clip, os.path.join(out_dir, "clip.npz"))
     return written
+
+
+def _main(argv=None) -> int:
+    """CLI: ``python -m vdpp_tpu.utils.weights <hf_model_dir> <out_dir>``
+    — convert a local diffusers-layout SVD checkpoint into this
+    framework's .npz files (the load path the reference gets from
+    ``from_pretrained``, reference: src/models/svd_unet.py:104-164)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("model_dir", help="HF checkpoint dir (unet/ vae/ image_encoder/)")
+    ap.add_argument("out_dir", help="output directory for the .npz files")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args(argv)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    os.makedirs(args.out_dir, exist_ok=True)
+    written = convert_svd_checkpoint(args.model_dir, args.out_dir, dtype=dtype)
+    if not written:
+        print(f"no convertible components found under {args.model_dir}")
+        return 1
+    for name, path in written.items():
+        print(f"{name}: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_main())
