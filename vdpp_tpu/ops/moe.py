@@ -10,7 +10,11 @@ Design (TPU-first, exact):
   with the softmax probability as the combine weight — no capacity
   factor, no token dropping, so the result is deterministic and
   independent of the expert-axis size (oracle-equality testable, the
-  same bar as every other parallel axis in this framework).
+  same bar as every other parallel axis in this framework). Caveat:
+  top-1 routing is DISCONTINUOUS, so when a DIFFERENT axis (e.g. token
+  sharding) perturbs the gate inputs at the last ulp, a near-tied
+  token can route differently — bounded and tested in
+  tests/test_moe.py::test_dit_moe_pipeline_seq_and_expert_axes.
 * **expert parallelism by weight sharding**: expert weight tensors carry
   a leading ``(num_experts, ...)`` dimension sharded over the mesh axis
   (``expert_param_spec`` builds the pytree of PartitionSpecs). Inside
