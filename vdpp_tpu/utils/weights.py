@@ -641,7 +641,13 @@ def _main(argv=None) -> int:
     ap.add_argument("out_dir", help="output directory for the .npz files")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--backend", default="cpu",
+                    help="JAX platform for the conversion (default cpu: "
+                    "conversion is pure layout mapping and needs no "
+                    "accelerator; a sitecustomize may pin a remote TPU "
+                    "platform, which env vars alone cannot override)")
     args = ap.parse_args(argv)
+    jax.config.update("jax_platforms", args.backend)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     os.makedirs(args.out_dir, exist_ok=True)
     written = convert_svd_checkpoint(args.model_dir, args.out_dir, dtype=dtype)
