@@ -121,9 +121,9 @@ def test_dit_moe_pipeline_on_stage_x_expert_mesh():
 
 
 def test_expert_parallel_composes_with_int8(moe_params, tokens):
-    """int8-quantized expert weights (leading expert dim on the int8 "q",
-    replicated per-channel scales) shard over the expert axis and match
-    the single-device quantized computation."""
+    """int8-quantized expert weights (leading expert dim on both the int8
+    "q" and the per-(expert, channel) "scale") shard over the expert axis
+    and match the single-device quantized computation."""
     from vdpp_tpu.ops.quant import quantize_tree
     from vdpp_tpu.parallel.mesh import EXPERT_AXIS, available_devices
 
@@ -136,7 +136,9 @@ def test_expert_parallel_composes_with_int8(moe_params, tokens):
     mesh = Mesh(np.array(available_devices()[:4]), (EXPERT_AXIS,))
     spec = expert_param_spec({"moe": qp}, EXPERT_AXIS)
     assert spec["moe"]["w_in"]["q"] == P(EXPERT_AXIS)
-    assert spec["moe"]["w_in"]["scale"] == P()
+    # per-expert scales (E, 1, out) shard with the experts they scale
+    assert qp["w_in"]["scale"].shape[0] == EXPERTS
+    assert spec["moe"]["w_in"]["scale"] == P(EXPERT_AXIS)
     sharded = jax.jit(
         jax.shard_map(
             lambda p, x: moe_ff(p["moe"], x, EXPERTS, expert_axis=EXPERT_AXIS),

@@ -31,6 +31,40 @@ def test_roundtrip_error_bounded():
     assert rel.max() < 1 / 127  # per-channel symmetric int8 bound
 
 
+def test_expert_stacked_scales_strictly_improve():
+    """Per-(expert, channel) scales (quantize_weight expert_stacked) must
+    strictly beat one shared per-channel scale when experts differ in
+    dynamic range — the exact failure mode of the shared scheme: a hot
+    expert's amax crushes a quiet expert's resolution."""
+    key = jax.random.key(3)
+    w = jax.random.normal(key, (4, 32, 64), jnp.float32)
+    # experts at wildly different magnitudes
+    w = w * jnp.array([0.01, 0.1, 1.0, 10.0])[:, None, None]
+    deq_shared = dequantize_weight(quantize_weight(w), jnp.float32)
+    deq_expert = dequantize_weight(
+        quantize_weight(w, expert_stacked=True), jnp.float32
+    )
+
+    def per_expert_rel(deq):
+        # max |error| within each (expert, channel), relative to that
+        # expert-channel's own amax — the resolution each expert gets
+        return np.abs(np.asarray(deq - w)).max(axis=1) / np.abs(
+            np.asarray(w)
+        ).max(axis=1)
+
+    rel_shared, rel_expert = per_expert_rel(deq_shared), per_expert_rel(deq_expert)
+    # per-expert scheme meets the symmetric int8 bound for EVERY expert;
+    # the shared scheme leaves the quietest expert ~1000x under-resolved
+    assert rel_expert.max() < 1 / 127
+    assert rel_shared.max() > 100 * rel_expert.max()
+    # strict improvement on every expert-channel (<= elementwise, < on the
+    # quiet experts)
+    assert (rel_expert <= rel_shared + 1e-12).all()
+    # scale carries the leading expert dim, broadcastable against q
+    scale = quantize_weight(w, expert_stacked=True)["scale"]
+    assert scale.shape == (4, 1, 64)
+
+
 def test_linear_dispatch_matches_dequant():
     p = init_linear(jax.random.key(1), 32, 48, jnp.float32)
     x = jax.random.normal(jax.random.key(2), (4, 32), jnp.float32)

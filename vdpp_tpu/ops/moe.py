@@ -219,9 +219,13 @@ def expert_param_spec(params, expert_axis: str):
             if keys[-1] in _EXPERT_LEAVES:
                 return P(expert_axis)
             # int8 form: .../moe/w_in/{q, scale} — "q" keeps the leading
-            # expert dim; "scale" is per-output-channel (no expert dim).
+            # expert dim; "scale" is per-(expert, output-channel) with the
+            # same leading expert dim (ops/quant.py expert_stacked). A
+            # legacy shared scale (ndim 1) stays replicated.
             if len(keys) >= 2 and keys[-2] in _EXPERT_LEAVES:
-                return P(expert_axis) if keys[-1] == "q" else P()
+                if keys[-1] == "q" or getattr(leaf, "ndim", 0) >= 2:
+                    return P(expert_axis)
+                return P()
         return P()
 
     return tree_map_with_path(spec, params)

@@ -24,11 +24,22 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w: jax.Array) -> dict:
-    """float (..., out) -> {"q": int8, "scale": f32 (out,)}."""
+def quantize_weight(w: jax.Array, expert_stacked: bool = False) -> dict:
+    """float (..., out) -> {"q": int8, "scale": f32 (out,)}.
+
+    ``expert_stacked=True`` (MoE ``(E, ..., out)`` stacks): one scale per
+    (expert, output-channel) — shape ``(E, 1, ..., out)``, broadcastable
+    against ``q`` — instead of sharing one scale across all experts.
+    Per-expert scales cost E*out floats (nothing), stay shardable with
+    ``P(expert_axis)`` on the leading dim, and strictly reduce
+    quantization error whenever experts differ in dynamic range.
+    """
     wf = jnp.asarray(w, jnp.float32)
-    reduce_axes = tuple(range(wf.ndim - 1))
-    amax = jnp.max(jnp.abs(wf), axis=reduce_axes)
+    if expert_stacked and wf.ndim >= 3:
+        reduce_axes = tuple(range(1, wf.ndim - 1))
+        amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    else:
+        amax = jnp.max(jnp.abs(wf), axis=tuple(range(wf.ndim - 1)))
     scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return {"q": q, "scale": scale}
@@ -66,9 +77,9 @@ def quantize_tree(params, min_ndim: int = 2, min_size: int = 4096):
             out = {}
             for k, v in node.items():
                 # "w": dense layers/convs; "w_in"/"w_out": MoE expert
-                # stacks (ops/moe.py) — same last-axis-channel scheme,
-                # scales shared across the expert dim (which stays
-                # shardable: int8 "q" carries the leading expert axis).
+                # stacks (ops/moe.py) — per-(expert, output-channel)
+                # scales, shardable over the expert axis ("q" and "scale"
+                # both carry the leading expert dim).
                 if (
                     k in ("w", "w_in", "w_out")
                     and isinstance(v, jax.Array)
@@ -76,7 +87,9 @@ def quantize_tree(params, min_ndim: int = 2, min_size: int = 4096):
                     and v.ndim >= min_ndim
                     and v.size >= min_size
                 ):
-                    out[k] = quantize_weight(v)
+                    out[k] = quantize_weight(
+                        v, expert_stacked=k in ("w_in", "w_out")
+                    )
                 else:
                     out[k] = rec(v)
             return out
