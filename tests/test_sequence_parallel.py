@@ -93,6 +93,106 @@ def test_pipeline_x_seq_parallel(mode):
     )
 
 
+# --------------------------------------------------------------------- #
+# SVD UNet: halo-exchange sequence parallelism (round 3)
+# --------------------------------------------------------------------- #
+def _svd_setup():
+    from vdpp_tpu.models.svd_unet import SVDUNetConfig
+    from vdpp_tpu.models.svd_wrapper import (
+        StableVideoUNet,
+        make_dummy_conditioning,
+    )
+
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=STEPS, cfg_mode="sequential")
+    params = model.init(jax.random.key(0))
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 3, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    latent = (
+        jax.random.normal(jax.random.key(2), (1, 3, 16, 16, 4), jnp.float32)
+        * model.init_noise_sigma
+    )
+    return model, params, cond, latent
+
+
+@pytest.mark.parametrize("shards", [2, 4])
+def test_svd_halo_seq_parallel_matches_oracle(shards):
+    """The flagship (conv) model under W-axis sequence parallelism: 3x3
+    convs halo-exchange one edge column per neighbor, GroupNorm psums its
+    statistics, spatial attention all_gathers K/V. Full schedule must be
+    elementwise-equal to the single-device oracle — the axis the
+    reference's design cannot split (reference: docs/context.md:20-26
+    forbids intra-frame partitioning)."""
+    from jax.sharding import PartitionSpec as P
+
+    model, params, cond, latent = _svd_setup()
+    bundle = (params, cond)
+    step = model.pipeline_step_fn()
+    ref = run_reference_single_device(step, bundle, latent[None], STEPS)[0]
+
+    mesh = make_seq_mesh(shards)
+    sp_step = model.pipeline_step_fn(seq_axis="seq", seq_shards=shards)
+
+    def body(bundle, lat):
+        def one(x, k):
+            return sp_step(bundle, x, k), None
+
+        x, _ = jax.lax.scan(one, lat, jnp.arange(STEPS, dtype=jnp.int32))
+        return x
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False
+    ))
+    out = fn(bundle, latent)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_svd_pipeline_x_halo_seq_parallel():
+    """(stage, seq) mesh for the SVD UNet: step pipeline where every stage
+    is itself a 2-device W-sharded group, in ONE jitted program."""
+    model, params, cond, latent = _svd_setup()
+    bundle = (params, cond)
+    inputs = jnp.stack([latent, latent * 0.5 + 0.1])
+
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, inputs, STEPS
+    )
+
+    mesh = make_stage_seq_mesh(4, 2)
+    sp_step = model.pipeline_step_fn(seq_axis="seq", seq_shards=2)
+    pipe = StepPipeline(mesh, sp_step, PipelineConfig(STEPS, 4))
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_svd_halo_seq_rejects_indivisible_width():
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
+
+    model, params, _, _ = _svd_setup()
+    # W=24: 24 % (8 shards * 2^(levels-1)=16) != 0
+    latent = jax.random.normal(jax.random.key(3), (1, 3, 16, 24, 4))
+    cond24 = make_dummy_conditioning(
+        jax.random.key(4), 1, 3, 16, 24,
+        cross_dim=model.config.cross_attention_dim, guidance_scale=3.0,
+    )
+    mesh = make_seq_mesh(8)
+    sp_step = model.pipeline_step_fn(seq_axis="seq", seq_shards=8)
+    fn = jax.shard_map(
+        lambda b, l: sp_step(b, l, jnp.int32(0)),
+        mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False,
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(fn)((params, cond24), latent)
+
+
 def test_seq_parallel_rejects_bad_mesh():
     from vdpp_tpu.parallel.mesh import make_pipeline_mesh
 

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from vdpp_tpu.ops.attention import attention, init_attention, temporal_self_attention
 from vdpp_tpu.ops.conv import (
     conv2d,
+    conv2d_halo,
     conv_temporal,
     init_conv2d,
     init_conv_temporal,
@@ -124,16 +125,27 @@ def _init_spatial_resnet(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int)
     return p
 
 
-def _spatial_resnet(p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig) -> jax.Array:
-    """x: (BF, H, W, C), emb: (BF, time_embed_dim)."""
-    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps)
+def _spatial_resnet(
+    p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig,
+    seq_axis: str | None = None,
+) -> jax.Array:
+    """x: (BF, H, W, C), emb: (BF, time_embed_dim).
+
+    ``seq_axis``: W is sharded over this mesh axis (sequence parallelism):
+    3x3 convs exchange halos, GroupNorm statistics psum across shards;
+    the 1x1 shortcut stays local.
+    """
+    c3 = (lambda h, pp: conv2d_halo(h, pp, seq_axis)) if seq_axis else conv2d
+    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
+                   psum_axis=seq_axis)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = conv2d(h, p["conv1"])
+    h = c3(h, p["conv1"])
     temb = linear(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype), p["time_emb_proj"])
     h = h + temb[:, None, None, :]
-    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps)
+    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
+                   psum_axis=seq_axis)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = conv2d(h, p["conv2"])
+    h = c3(h, p["conv2"])
     shortcut = conv2d(x, p["conv_shortcut"]) if "conv_shortcut" in p else x
     return shortcut + h
 
@@ -149,17 +161,22 @@ def _init_temporal_resnet(kg: _Keys, cfg: SVDUNetConfig, ch: int) -> dict:
 
 
 def _temporal_resnet(
-    p: dict, x: jax.Array, emb_bf: jax.Array, cfg: SVDUNetConfig
+    p: dict, x: jax.Array, emb_bf: jax.Array, cfg: SVDUNetConfig,
+    seq_axis: str | None = None,
 ) -> jax.Array:
-    """x: (B, F, H, W, C), emb_bf: (B, F, time_embed_dim)."""
-    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps)
+    """x: (B, F, H, W, C), emb_bf: (B, F, time_embed_dim). The (k,1,1)
+    temporal convs touch no spatial neighborhood, so under W-sharding only
+    the GroupNorm statistics need the cross-shard psum."""
+    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
+                   psum_axis=seq_axis)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
     h = conv_temporal(h, p["conv1"])
     temb = linear(
         jax.nn.silu(emb_bf.astype(jnp.float32)).astype(emb_bf.dtype), p["time_emb_proj"]
     )
     h = h + temb[:, :, None, None, :]
-    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps)
+    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
+                   psum_axis=seq_axis)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
     h = conv_temporal(h, p["conv2"])
     return x + h
@@ -180,19 +197,20 @@ def _init_st_resblock(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int) ->
 
 
 def _st_resblock(
-    p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig, batch: int, frames: int
+    p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig, batch: int,
+    frames: int, seq_axis: str | None = None,
 ) -> jax.Array:
     """x: (B*F, H, W, C) -> same; blends spatial and temporal residual paths."""
     import os as _os
 
     bf, hh, ww, _ = x.shape
-    h_spatial = _spatial_resnet(p["spatial"], x, emb, cfg)
+    h_spatial = _spatial_resnet(p["spatial"], x, emb, cfg, seq_axis=seq_axis)
     if _os.environ.get("VDPP_ABLATE_TEMPORAL_RESNET") == "1":  # profiling only
         return h_spatial
     c = h_spatial.shape[-1]
     hs = h_spatial.reshape(batch, frames, hh, ww, c)
     emb_bf = emb.reshape(batch, frames, -1)
-    ht = _temporal_resnet(p["temporal"], hs, emb_bf, cfg)
+    ht = _temporal_resnet(p["temporal"], hs, emb_bf, cfg, seq_axis=seq_axis)
     alpha = jax.nn.sigmoid(p["mix_factor"].astype(jnp.float32)).astype(x.dtype)
     out = alpha * hs + (1.0 - alpha) * ht
     return out.reshape(bf, hh, ww, c)
@@ -213,13 +231,18 @@ def _init_spatial_tblock(kg: _Keys, cfg: SVDUNetConfig, dim: int) -> dict:
 
 
 def _spatial_tblock(
-    p: dict, h: jax.Array, ctx: jax.Array, heads: int
+    p: dict, h: jax.Array, ctx: jax.Array, heads: int,
+    seq_axis: str | None = None,
 ) -> jax.Array:
     """BasicTransformerBlock: self-attn + single-key cross-attn + GEGLU FF.
 
-    h: (BF, L, C), ctx: (BF, 1, cross_dim).
+    h: (BF, L, C), ctx: (BF, 1, cross_dim). Under sequence parallelism L
+    is the local token shard: self-attention all_gathers K/V over
+    ``seq_axis`` (exact — softmax is invariant to key order), the
+    single-key cross-attention and FF are token-local.
     """
-    h = h + attention(layer_norm(h, p["norm1"]), p["attn1"], heads)
+    h = h + attention(layer_norm(h, p["norm1"]), p["attn1"], heads,
+                      seq_axis=seq_axis)
     h = h + attention(layer_norm(h, p["norm2"]), p["attn2"], heads, context=ctx)
     h = h + geglu_ff(layer_norm(h, p["norm3"]), p["ff"])
     return h
@@ -291,11 +314,13 @@ def _st_transformer(
     heads: int,
     batch: int,
     frames: int,
+    seq_axis: str | None = None,
 ) -> jax.Array:
     """x: (B*F, H, W, C); ctx: (B*F, 1, cross_dim)."""
     bf, hh, ww, c = x.shape
     residual = x
-    h = group_norm(x, p["norm"], cfg.norm_num_groups, cfg.transformer_eps)
+    h = group_norm(x, p["norm"], cfg.norm_num_groups, cfg.transformer_eps,
+                   psum_axis=seq_axis)
     h = h.reshape(bf, hh * ww, c)
     h = linear(h, p["proj_in"])
 
@@ -314,7 +339,7 @@ def _st_transformer(
     ablate_temporal = _os.environ.get("VDPP_ABLATE_TEMPORAL") == "1"  # profiling only
     alpha = jax.nn.sigmoid(p["mix_factor"].astype(jnp.float32)).astype(x.dtype)
     for sp, tp in zip(p["blocks"], p["temporal_blocks"]):
-        h = _spatial_tblock(sp, h, ctx, heads)
+        h = _spatial_tblock(sp, h, ctx, heads, seq_axis=seq_axis)
         if not ablate_temporal:
             h_mix = h + f_emb
             h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames)
@@ -424,6 +449,8 @@ class SVDUNet:
         timestep: jax.Array,
         encoder_hidden_states: jax.Array,
         added_time_ids: jax.Array,
+        seq_axis: str | None = None,
+        seq_shards: int = 1,
     ) -> jax.Array:
         """Denoise one step.
 
@@ -432,13 +459,41 @@ class SVDUNet:
             timestep: scalar or (B,) continuous timestep (0.25*ln(sigma)).
             encoder_hidden_states: (B, 1, cross_attention_dim) CLIP image embedding.
             added_time_ids: (B, 3) [fps-1, motion_bucket_id, noise_aug_strength].
+            seq_axis/seq_shards: halo-exchange sequence parallelism — must
+                run inside a ``shard_map`` carrying mesh axis ``seq_axis``
+                of size ``seq_shards``. The latent enters replicated; the
+                W axis is sharded right after entry, every 3x3 conv
+                exchanges a 1-column halo (``conv2d_halo``), GroupNorm
+                statistics psum across shards, spatial self-attention
+                all_gathers K/V, and the finished shard is gathered once
+                at the end. Elementwise-equal to the unsharded forward —
+                this extends single-sample latency scaling to the model
+                family the reference's design explicitly cannot split
+                intra-frame (reference: docs/context.md:20-26).
 
         Returns:
-            (B, F, H, W, C_out) v-prediction.
+            (B, F, H, W, C_out) v-prediction (replicated under seq_axis).
         """
         cfg = self.config
         b, f, hh, ww, _ = sample.shape
         heads = cfg.num_attention_heads
+        if seq_axis is not None:
+            # every level's LOCAL width must stay even for the stride-2
+            # downsample grid to align across shards
+            min_div = seq_shards * 2 ** (cfg.num_levels - 1)
+            if ww % min_div != 0:
+                raise ValueError(
+                    f"latent width {ww} not divisible by seq_shards x "
+                    f"2^(levels-1) = {min_div}"
+                )
+        c3 = (
+            # halo form supplies its own W handling; `padding` (always the
+            # 3x3-SAME shape at these sites) is subsumed by the halo
+            (lambda h, pp, stride=1, **_: conv2d_halo(h, pp, seq_axis,
+                                                      stride=stride))
+            if seq_axis is not None else
+            (lambda h, pp, **kw: conv2d(h, pp, **kw))
+        )
 
         # --- embeddings (fp32 sinusoids, model-dtype MLPs) ---
         t = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)), (b,))
@@ -456,7 +511,11 @@ class SVDUNet:
         )  # (B*F, 1, D)
 
         x = sample.astype(cfg.dtype).reshape(b * f, hh, ww, sample.shape[-1])
-        x = conv2d(x, params["conv_in"])
+        if seq_axis is not None:
+            wl = ww // seq_shards
+            idx = jax.lax.axis_index(seq_axis)
+            x = jax.lax.dynamic_slice_in_dim(x, idx * wl, wl, axis=2)
+        x = c3(x, params["conv_in"])
 
         res_stack: list[jax.Array] = [x]
         # --- down path ---
@@ -464,21 +523,23 @@ class SVDUNet:
         for i, block in enumerate(params["down_blocks"]):
             has_attn = i < n_levels - 1
             for j, res_p in enumerate(block["resnets"]):
-                x = _st_resblock(res_p, x, emb_f, cfg, b, f)
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis)
                 if has_attn:
                     x = _st_transformer(
-                        block["attentions"][j], x, ctx_f, cfg, heads[i], b, f
+                        block["attentions"][j], x, ctx_f, cfg, heads[i], b, f,
+                        seq_axis=seq_axis,
                     )
                 res_stack.append(x)
             if "downsample" in block:
-                x = conv2d(x, block["downsample"], stride=2, padding=((1, 1), (1, 1)))
+                x = c3(x, block["downsample"], stride=2, padding=((1, 1), (1, 1)))
                 res_stack.append(x)
 
         # --- mid ---
         mid = params["mid_block"]
-        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f)
-        x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg, heads[-1], b, f)
-        x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f)
+        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f, seq_axis=seq_axis)
+        x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg, heads[-1], b, f,
+                            seq_axis=seq_axis)
+        x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f, seq_axis=seq_axis)
 
         # --- up path ---
         rev_heads = list(reversed(heads))
@@ -487,17 +548,21 @@ class SVDUNet:
             for j, res_p in enumerate(block["resnets"]):
                 skip = res_stack.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = _st_resblock(res_p, x, emb_f, cfg, b, f)
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis)
                 if has_attn:
                     x = _st_transformer(
-                        block["attentions"][j], x, ctx_f, cfg, rev_heads[i], b, f
+                        block["attentions"][j], x, ctx_f, cfg, rev_heads[i], b, f,
+                        seq_axis=seq_axis,
                     )
             if "upsample" in block:
                 x = upsample_nearest_2x(x)
-                x = conv2d(x, block["upsample"])
+                x = c3(x, block["upsample"])
 
         # --- head ---
-        x = group_norm(x, params["conv_norm_out"], cfg.norm_num_groups, cfg.out_norm_eps)
+        x = group_norm(x, params["conv_norm_out"], cfg.norm_num_groups,
+                       cfg.out_norm_eps, psum_axis=seq_axis)
         x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
-        x = conv2d(x, params["conv_out"])
+        x = c3(x, params["conv_out"])
+        if seq_axis is not None:
+            x = jax.lax.all_gather(x, seq_axis, axis=2, tiled=True)
         return x.reshape(b, f, hh, ww, cfg.out_channels)

@@ -183,6 +183,8 @@ class StableVideoUNet:
         timestep: jax.Array,
         cond: SVDConditioning,
         cfg_axis: str | None = None,
+        seq_axis: str | None = None,
+        seq_shards: int = 1,
     ) -> jax.Array:
         """UNet eval(s) incl. CFG; input is the pre-scaled latent.
 
@@ -191,6 +193,10 @@ class StableVideoUNet:
         instead of two in sequence), exchanged with a single latent-sized
         ``ppermute`` — CFG parallelism, halving per-step latency at 2x
         devices. Overrides ``cfg_mode`` when set and guidance is active.
+
+        ``seq_axis``/``seq_shards``: halo-exchange sequence parallelism —
+        the UNet's W axis shards over the mesh axis (SVDUNet.apply);
+        composes with ``cfg_axis`` and the stage pipeline.
         """
         model_dtype = self.config.dtype
 
@@ -201,7 +207,8 @@ class StableVideoUNet:
                 [lat_scaled.astype(model_dtype), image_latents.astype(model_dtype)],
                 axis=-1,
             )
-            return self.unet.apply(params, x, timestep, ctx, added_time_ids)
+            return self.unet.apply(params, x, timestep, ctx, added_time_ids,
+                                   seq_axis=seq_axis, seq_shards=seq_shards)
 
         if cond.guidance is None:
             return unet_call(latent_scaled, cond.image_latents, cond.image_embeddings)
@@ -250,6 +257,8 @@ class StableVideoUNet:
         step_idx: jax.Array,
         cond: SVDConditioning,
         cfg_axis: str | None = None,
+        seq_axis: str | None = None,
+        seq_shards: int = 1,
     ) -> jax.Array:
         """One full denoising step: scale, UNet(+CFG), fp32 Euler update
         (reference forward(), src/models/svd_unet.py:351-439)."""
@@ -261,7 +270,8 @@ class StableVideoUNet:
 
         lat32 = latent.astype(jnp.float32)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
-        eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis)
+        eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis,
+                              seq_axis=seq_axis, seq_shards=seq_shards)
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
     def bind(self, cond: SVDConditioning):
@@ -275,17 +285,23 @@ class StableVideoUNet:
 
         return step_fn
 
-    def pipeline_step_fn(self, cfg_axis: str | None = None):
+    def pipeline_step_fn(self, cfg_axis: str | None = None,
+                         seq_axis: str | None = None, seq_shards: int = 1):
         """``step_fn(bundle, latent, step)`` where ``bundle = (unet_params,
         SVDConditioning)`` — both travel through the pipeline engine as one
         replicated pytree argument.
 
         ``cfg_axis``: build a CFG-parallel step_fn for a mesh carrying that
         size-2 axis (e.g. a (stage, cfg) mesh — each pipeline stage is a
-        2-device uncond/cond group)."""
+        2-device uncond/cond group).
+
+        ``seq_axis``/``seq_shards``: halo-exchange sequence parallelism
+        for a mesh carrying a seq axis (e.g. (stage, seq) or
+        (stage, seq, cfg))."""
 
         def step_fn(bundle, latent: jax.Array, step_idx: jax.Array) -> jax.Array:
             params, cond = bundle
-            return self.step(params, latent, step_idx, cond, cfg_axis=cfg_axis)
+            return self.step(params, latent, step_idx, cond, cfg_axis=cfg_axis,
+                             seq_axis=seq_axis, seq_shards=seq_shards)
 
         return step_fn

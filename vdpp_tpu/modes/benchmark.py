@@ -53,8 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "size-2 'cfg' mesh axis inside every stage (needs "
                         "--guidance-scale; svd/dit models)")
     p.add_argument("--seq-parallel", type=int, default=1,
-                   help="token-axis sharding width per stage (dit models): "
-                        "a (stage, seq[, cfg]) mesh")
+                   help="token-axis sharding width per stage: a "
+                        "(stage, seq[, cfg]) mesh; dit models shard the "
+                        "token set (K/V all-gather), svd models shard the "
+                        "latent W axis with halo-exchange 3x3 convs")
     p.add_argument("--expert-parallel", type=int, default=1,
                    help="expert-axis width per stage (MoE dit models): "
                         "expert weights sharded over an 'expert' mesh axis "
@@ -131,11 +133,15 @@ def _build_model(args, config_dtype):
     from vdpp_tpu.models.svd_unet import SVDUNetConfig
     from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
 
-    if sp > 1:
-        raise SystemExit("--seq-parallel supports the dit models only")
     config = (
         SVDUNetConfig.tiny() if args.model == "svd_tiny" else SVDUNetConfig.svd_xt()
     )
+    if sp > 1 and w % (sp * 2 ** (config.num_levels - 1)) != 0:
+        raise SystemExit(
+            f"--seq-parallel {sp}: latent width {w} must be divisible by "
+            f"sp x 2^(levels-1) = {sp * 2 ** (config.num_levels - 1)} "
+            "(halo-exchange W sharding)"
+        )
     model = StableVideoUNet(config, num_steps=args.total_steps)
     params = jax.jit(model.init)(jax.random.key(args.seed))
     cond = make_dummy_conditioning(
@@ -144,7 +150,10 @@ def _build_model(args, config_dtype):
         guidance_scale=args.guidance_scale,
     )
     return (
-        model.pipeline_step_fn(cfg_axis=cfg_axis),
+        model.pipeline_step_fn(
+            cfg_axis=cfg_axis,
+            seq_axis="seq" if sp > 1 else None, seq_shards=sp,
+        ),
         (params, cond),
         (b, f, h, w, 4),
         args.model,

@@ -42,6 +42,40 @@ def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.A
     return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
 
 
+def conv2d_halo(
+    x: jax.Array, params: dict, seq_axis: str, stride: int = 1
+) -> jax.Array:
+    """3x3 conv on an input whose W axis is sharded over ``seq_axis``.
+
+    Must run inside ``shard_map``; ``x`` is the local (N, H, W_local, C)
+    shard of contiguous global columns. Each device exchanges ONE edge
+    column with each neighbor (two ``ppermute``s riding ICI) — the halo a
+    3x3 kernel needs — then convolves with no W padding. ``ppermute``
+    zero-fills targets no source covers, which IS the global SAME zero
+    padding at the outer edges, so no masking is needed.
+
+    stride=2 (the downsample site) stays aligned because every level's
+    W_local is even: local window starts map exactly onto the global
+    stride grid. Elementwise-equal to the unsharded ``conv2d`` (enforced
+    in tests/test_sequence_parallel.py).
+    """
+    n = jax.lax.psum(1, seq_axis)
+    send_right = [(i, i + 1) for i in range(n - 1)]
+    send_left = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(x[:, :, -1:, :], seq_axis, send_right)
+    from_right = jax.lax.ppermute(x[:, :, :1, :], seq_axis, send_left)
+    xh = jnp.concatenate([from_left, x, from_right], axis=2)
+    y = jax.lax.conv_general_dilated(
+        xh,
+        _kernel_in(params, x.dtype),
+        window_strides=(stride, stride),
+        padding=((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
 def init_conv_temporal(
     key: jax.Array, in_ch: int, out_ch: int, kernel: int = 3, dtype=jnp.float32
 ) -> dict:
