@@ -217,6 +217,38 @@ def test_sinusoidal_embedding_matches_manual():
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+def test_flash_static_max_softmax_matches_running():
+    """Both softmax modes must agree with the XLA oracle: the static-max
+    form drops the running max (a constant factor that cancels exactly in
+    the normalization), so only fp32 rounding differs. Also checks large
+    logits well past typical post-norm magnitudes stay finite (the
+    _S_CLAMP overflow guard)."""
+    rng = np.random.default_rng(12)
+    b, l, h, d = 2, 384, 3, 64
+    q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    ref = _sdpa_xla(q, k, v)
+    for mode in (True, False):
+        got = flash_attention(q, k, v, block_q=128, block_k=128,
+                              static_max=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+    # 8x-scaled queries: logits ~50, still under the _S_CLAMP/log2(e)~69
+    # exactness bound — must stay exact (post-norm activations live far
+    # below this; beyond the bound the clamp saturates and only
+    # finiteness is guaranteed, which is why running-max stays available)
+    big = flash_attention(q * 8.0, k, v, block_q=128, block_k=128,
+                          static_max=True)
+    ref_big = _sdpa_xla(q * 8.0, k, v)
+    np.testing.assert_allclose(np.asarray(big), np.asarray(ref_big),
+                               atol=5e-5)
+    # pathological logits (~380): clamp engages; output must stay FINITE
+    huge = flash_attention(q * 64.0, k, v, block_q=128, block_k=128,
+                           static_max=True)
+    assert bool(jnp.all(jnp.isfinite(huge)))
+
+
 def test_flash_attention_large_head_dim():
     # VAE mid-block style: single head, head_dim > 128.
     rng = np.random.default_rng(10)

@@ -26,8 +26,26 @@ kernel therefore minimizes VPU passes:
   lives in the accumulator and is rescaled by the same alpha;
 * **conditional masking**: the padded-key mask is emitted only when the
   sequence actually needs padding (compile-time decision);
+* **static-max softmax** (default; ``VDPP_FLASH_SOFTMAX=running`` to
+  disable): non-causal attention over post-norm activations keeps logits
+  far below the fp32 exp2 overflow line, so the kernel computes
+  ``exp2(s)`` directly — the subtracted running max is a constant factor
+  that cancels exactly in the normalization. Removes the per-tile
+  (BQ,BK) max-reduce, the subtract, and the accumulator rescale; a
+  ``min(s, 100)`` clamp guards pathological logits (beyond
+  |logit| ~ 69 the softmax saturates and only finiteness is guaranteed —
+  the running-max mode remains available for that regime). Measured
+  +6.9% at the L0 site (chained honest harness, 20.5 -> 19.1 ms/call);
 * fp32 running statistics; bf16 P for the PV matmul; mask value
   -0.7*float_max (avoids exp(-inf - -inf) NaNs).
+
+Timing note (round 3): per-dispatch kernel timings through the remote
+relay carry ~25 ms of overhead even with fresh inputs — the honest
+harness chains ITERS kernel calls in one scan AND fetches an in-jit
+scalar reduction (a bare block_until_ready returns optimistically). The
+round-2 "45.1 ms / 33.7 TFLOP/s" L0 figure was dispatch-inflated; the
+kernel actually runs ~20.5 ms (74 TFLOP/s) running-max, ~19.1 ms
+(79.5 TFLOP/s) static-max.
 """
 
 from __future__ import annotations
@@ -51,17 +69,26 @@ def _aug_width(d: int) -> int:
     return ((d + 1 + 127) // 128) * 128
 
 
+# Static-max clamp, log2 domain. exp2(_S_CLAMP) * L keys must stay finite
+# in the fp32 denominator: 2^100 * 2^14 = 2^114 << 2^128. Post-norm
+# activations put logits orders of magnitude below this, so the clamp
+# never engages in practice — it only guards pathological inputs, for
+# which the softmax saturates to the clamped one-hot anyway.
+_S_CLAMP = 100.0
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr,
     *, kv_valid: int, bk_major: int, bk: int, need_mask: bool, head_dim: int,
-    exp_bf16: bool = False,
+    exp_bf16: bool = False, static_max: bool = False,
 ):
     ki_major = pl.program_id(2)
     nk_major = pl.num_programs(2)
 
     @pl.when(ki_major == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, _MASK_VALUE)
+        if not static_max:
+            m_scr[:] = jnp.full_like(m_scr, _MASK_VALUE)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # (BQ, D) — pre-scaled by sm_scale * log2(e)
@@ -79,6 +106,23 @@ def _flash_kernel(
                 + start
             )
             s = jnp.where(col < kv_valid, s, _MASK_VALUE)
+
+        if static_max:
+            # Static-max softmax: exp2(s) directly — the subtracted max is
+            # a constant factor that cancels exactly in the l
+            # normalization, so dropping it changes only fp32 rounding.
+            # Removes the per-tile (BQ,BK) max-reduce, the subtract, and
+            # the (BQ,AUG) accumulator rescale — the kernel is VPU-bound
+            # on exactly these passes (module docstring). The clamp
+            # replaces the running max as the overflow guard.
+            p = jnp.exp2(jnp.minimum(s, _S_CLAMP))
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, start : start + bk, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, AUG)
+            acc_scr[:] = acc_scr[:] + pv
+            continue
 
         m_prev = m_scr[:, :1]  # (BQ, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -120,7 +164,8 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k_major", "block_k", "interpret", "exp_bf16"),
+    static_argnames=("block_q", "block_k_major", "block_k", "interpret",
+                     "exp_bf16", "static_max"),
 )
 def _flash_bhld(
     q: jax.Array,
@@ -131,6 +176,7 @@ def _flash_bhld(
     block_k: int,
     interpret: bool,
     exp_bf16: bool = False,
+    static_max: bool = False,
 ) -> jax.Array:
     """q/k/v: (BH, L, D) -> (BH, Lq, D)."""
     bh, lq, d = q.shape
@@ -168,6 +214,7 @@ def _flash_bhld(
         need_mask=need_mask,
         head_dim=d,
         exp_bf16=exp_bf16,
+        static_max=static_max,
     )
     out = pl.pallas_call(
         kernel,
@@ -230,6 +277,7 @@ def flash_attention(
     block_q: int = 1536,
     block_k_major: int = 1536,
     block_k: int = 1536,
+    static_max: bool | None = None,
 ) -> jax.Array:
     """Flash attention over (B, L, H, D) tensors (non-causal, no mask).
 
@@ -251,13 +299,16 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
-    # The env knob must be part of the jit cache key (a static arg):
-    # read inside the traced body it would pin the FIRST call's value for
-    # every later call at the same shape.
+    # The env knobs must be part of the jit cache key (static args):
+    # read inside the traced body they would pin the FIRST call's value
+    # for every later call at the same shape.
     import os
 
     exp_bf16 = os.environ.get("VDPP_FLASH_EXP") == "bf16"
+    if static_max is None:
+        static_max = os.environ.get("VDPP_FLASH_SOFTMAX", "static") == "static"
     out = _flash_bhld(
-        qt, kt, vt, block_q, block_k_major, block_k, interpret, exp_bf16
+        qt, kt, vt, block_q, block_k_major, block_k, interpret, exp_bf16,
+        static_max,
     )
     return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)
