@@ -45,6 +45,8 @@ def main():
                     help="conv applications chained per program")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--gemm-control", action="store_true",
+                    help="measure pure-GEMM ceilings at the conv shapes")
     args = ap.parse_args()
 
     import jax
@@ -118,6 +120,62 @@ def main():
         ("L3 9x16 C1280", 14, 9, 16, 1280),
     ]
 
+    if args.gemm_control:
+        # Ceiling control: a pure (M, 9C) x (9C, C) GEMM with exactly the
+        # im2col FLOPs/shapes — how fast CAN the MXU go at this (M, K, N)?
+        # Plus an N=K square GEMM to isolate the narrow-N penalty.
+        print(f"{'control GEMM':<24} {'ms':>9} {'TFLOP/s':>9}")
+        for label, n, h, wd, c in [
+            ("L0 72x128 C320", 14, 72, 128, 320),
+            ("L1 36x64 C640", 14, 36, 64, 640),
+        ]:
+            m = n * h * wd
+            for gname, kk, nn in [
+                (f"im2col-shape {m}x{9 * c}x{c}", 9 * c, c),
+                (f"square {m}x{c}x{c} (x9 chained)", c, c),
+            ]:
+                iters = args.iters if kk == 9 * c else args.iters * 9
+
+                def gchain(x, w, iters=iters):
+                    def body(xc, _):
+                        y = jax.lax.dot_general(
+                            xc, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(xc.dtype)
+                        # data-dependent closure: write y back into x
+                        # (cheap (m, nn) store; keeps (m, kk) carry shape)
+                        return jax.lax.dynamic_update_slice(
+                            xc, y, (0, 0)), None
+                    out, _ = jax.lax.scan(body, x, None, length=iters)
+                    # in-jit scalar reduction: the remote relay returns
+                    # optimistically for array outputs even under
+                    # block_until_ready; fetching a scalar forces real
+                    # execution (profile_unet.py methodology)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                jg = jax.jit(gchain)
+
+                def mkg(seed, kk=kk, nn=nn):
+                    ks = jax.random.split(jax.random.key(seed), 2)
+                    return (
+                        jax.random.normal(ks[0], (m, kk), jnp.bfloat16),
+                        jax.random.normal(ks[1], (kk, nn), jnp.bfloat16)
+                        / kk ** 0.5,
+                    )
+
+                float(jg(*mkg(0)))
+                times = []
+                for r in range(1, args.reps + 1):
+                    a = mkg(r)
+                    t0 = time.perf_counter()
+                    float(jg(*a))
+                    times.append(time.perf_counter() - t0)
+                ms = min(times) / iters * 1e3
+                tf = 2 * m * kk * nn / (ms / 1e3) / 1e12
+                print(f"{label + ' ' + gname:<44} {ms:>9.3f} {tf:>9.1f}",
+                      flush=True)
+        return
+
     print(f"{'site':<18} {'variant':<8} {'ms/conv':>9} {'TFLOP/s':>9}")
     for label, n, h, wd, c in sites:
         flops = 2 * n * h * wd * 9 * c * c
@@ -128,7 +186,8 @@ def main():
                 def body(xc, _):
                     return vfn(xc, w, b), None
                 out, _ = jax.lax.scan(body, x, None, length=iters)
-                return out
+                # scalar readback forces real execution (see gchain note)
+                return jnp.sum(out.astype(jnp.float32))
 
             jfn = jax.jit(chained)
 
@@ -141,14 +200,14 @@ def main():
                 return x, w, b
 
             t0 = time.perf_counter()
-            jax.block_until_ready(jfn(*mk(0)))
+            float(jfn(*mk(0)))
             log(f"[{label} {vname}] compile+first: "
                 f"{time.perf_counter() - t0:.1f}s")
             times = []
             for r in range(1, args.reps + 1):
                 a = mk(r)
                 t0 = time.perf_counter()
-                jax.block_until_ready(jfn(*a))
+                float(jfn(*a))
                 times.append(time.perf_counter() - t0)
             ms = min(times) / iters * 1e3
             tflops = flops / (ms / 1e3) / 1e12
