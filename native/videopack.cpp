@@ -17,6 +17,7 @@
 // library is unavailable.
 
 #include <array>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -359,6 +360,462 @@ int vdpp_write_gif(const char* path, const uint8_t* rgb, int f, int h, int w,
         out.insert(out.end(), frame_data[i].begin(), frame_data[i].end());
     }
     out.push_back(0x3B);  // trailer
+
+    FILE* fp = std::fopen(path, "wb");
+    if (!fp) return -1;
+    size_t written = std::fwrite(out.data(), 1, out.size(), fp);
+    std::fclose(fp);
+    return written == out.size() ? 0 : -2;
+}
+
+}  // extern "C"
+
+// ------------------ baseline JPEG encoder + MJPEG AVI ---------------- //
+//
+// Closes the reference's MP4 output leg (scripts/generate_video_demo.py
+// saves MP4 via imageio/ffmpeg) with a dependency-free PLAYABLE
+// compressed container: baseline JFIF JPEG (Annex K tables, 4:2:0) per
+// frame inside a RIFF AVI 'MJPG' stream — decoded by VLC/mpv/ffmpeg/
+// browsers everywhere. Frames encode in parallel threads.
+
+namespace jpg {
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+const uint8_t kQLum[64] = {
+    16, 11, 10, 16, 24,  40,  51,  61,  12, 12, 14, 19, 26,  58,  60,  55,
+    14, 13, 16, 24, 40,  57,  69,  56,  14, 17, 22, 29, 51,  87,  80,  62,
+    18, 22, 37, 56, 68,  109, 103, 77,  24, 35, 55, 64, 81,  104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+
+const uint8_t kQChr[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+
+// Annex K Huffman specifications: {BITS[16]} + HUFFVAL.
+const uint8_t kDcLumBits[16] = {0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0};
+const uint8_t kDcVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+const uint8_t kDcChrBits[16] = {0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0};
+
+const uint8_t kAcLumBits[16] = {0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d};
+const uint8_t kAcLumVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+
+const uint8_t kAcChrBits[16] = {0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77};
+const uint8_t kAcChrVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+
+struct Huff {
+    uint16_t code[256];
+    uint8_t len[256];
+};
+
+Huff build_huff(const uint8_t bits[16], const uint8_t* vals) {
+    Huff h{};
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+        for (int i = 0; i < bits[l - 1]; ++i) {
+            h.code[vals[k]] = static_cast<uint16_t>(code);
+            h.len[vals[k]] = static_cast<uint8_t>(l);
+            ++code;
+            ++k;
+        }
+        code <<= 1;
+    }
+    return h;
+}
+
+struct BitWriter {
+    std::vector<uint8_t>& out;
+    uint32_t acc = 0;
+    int nbits = 0;
+    explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+    void put(uint32_t code, int n) {
+        acc = (acc << n) | (code & ((1u << n) - 1));
+        nbits += n;
+        while (nbits >= 8) {
+            uint8_t b = static_cast<uint8_t>(acc >> (nbits - 8));
+            out.push_back(b);
+            if (b == 0xFF) out.push_back(0x00);  // byte stuffing
+            nbits -= 8;
+        }
+    }
+    void flush() {  // pad with 1s per the spec
+        if (nbits > 0) {
+            uint8_t b = static_cast<uint8_t>(
+                (acc << (8 - nbits)) | ((1u << (8 - nbits)) - 1));
+            out.push_back(b);
+            if (b == 0xFF) out.push_back(0x00);
+            nbits = 0;
+        }
+        acc = 0;
+    }
+};
+
+void fdct8x8(const float in[64], float out[64]) {
+    static float a[8][8];
+    static bool init = false;
+    if (!init) {
+        for (int u = 0; u < 8; ++u)
+            for (int x = 0; x < 8; ++x)
+                a[u][x] = 0.5f *
+                          (u == 0 ? 0.70710678f : 1.0f) *
+                          std::cos((2 * x + 1) * u * 3.14159265358979f / 16.0f);
+        init = true;
+    }
+    float tmp[64];
+    for (int u = 0; u < 8; ++u)
+        for (int x = 0; x < 8; ++x) {
+            float s = 0;
+            for (int k = 0; k < 8; ++k) s += a[u][k] * in[x * 8 + k];
+            tmp[x * 8 + u] = s;  // row DCT
+        }
+    for (int v = 0; v < 8; ++v)
+        for (int u = 0; u < 8; ++u) {
+            float s = 0;
+            for (int k = 0; k < 8; ++k) s += a[v][k] * tmp[k * 8 + u];
+            out[v * 8 + u] = s;
+        }
+}
+
+inline int bitcat(int v) {
+    int a = v < 0 ? -v : v, n = 0;
+    while (a) { a >>= 1; ++n; }
+    return n;
+}
+
+void encode_block(BitWriter& bw, const float blk[64], const uint8_t qt[64],
+                  const Huff& dc, const Huff& ac, int& pred) {
+    float coef[64];
+    fdct8x8(blk, coef);
+    int z[64];
+    for (int i = 0; i < 64; ++i) {
+        float q = coef[kZigzag[i]] / qt[kZigzag[i]];
+        z[i] = static_cast<int>(q < 0 ? q - 0.5f : q + 0.5f);
+    }
+    int diff = z[0] - pred;
+    pred = z[0];
+    int c = bitcat(diff);
+    bw.put(dc.code[c], dc.len[c]);
+    if (c) bw.put(diff < 0 ? diff + (1 << c) - 1 : diff, c);
+    int run = 0;
+    for (int i = 1; i < 64; ++i) {
+        if (z[i] == 0) { ++run; continue; }
+        while (run > 15) { bw.put(ac.code[0xf0], ac.len[0xf0]); run -= 16; }
+        int cc = bitcat(z[i]);
+        int sym = (run << 4) | cc;
+        bw.put(ac.code[sym], ac.len[sym]);
+        bw.put(z[i] < 0 ? z[i] + (1 << cc) - 1 : z[i], cc);
+        run = 0;
+    }
+    if (run) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
+}
+
+inline void be16(std::vector<uint8_t>& o, uint16_t v) {
+    o.push_back(v >> 8);
+    o.push_back(v & 0xff);
+}
+
+void scale_qt(const uint8_t* base, int quality, uint8_t out[64]) {
+    if (quality < 1) quality = 1;
+    if (quality > 100) quality = 100;
+    int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
+    for (int i = 0; i < 64; ++i) {
+        int v = (base[i] * scale + 50) / 100;
+        out[i] = static_cast<uint8_t>(v < 1 ? 1 : (v > 255 ? 255 : v));
+    }
+}
+
+// Encode one RGB frame as a baseline JFIF JPEG into ``out``.
+void encode_frame(const uint8_t* rgb, int h, int w, int quality,
+                  std::vector<uint8_t>& out) {
+    uint8_t qlum[64], qchr[64];
+    scale_qt(kQLum, quality, qlum);
+    scale_qt(kQChr, quality, qchr);
+    static const Huff dcl = build_huff(kDcLumBits, kDcVals);
+    static const Huff dcc = build_huff(kDcChrBits, kDcVals);
+    static const Huff acl = build_huff(kAcLumBits, kAcLumVals);
+    static const Huff acc = build_huff(kAcChrBits, kAcChrVals);
+
+    // full-range JFIF YCbCr planes; chroma 2x2 box-subsampled
+    const int ch = (h + 1) / 2, cw = (w + 1) / 2;
+    std::vector<float> Y(static_cast<size_t>(h) * w);
+    std::vector<float> Cb(static_cast<size_t>(ch) * cw);
+    std::vector<float> Cr(static_cast<size_t>(ch) * cw);
+    for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+            const uint8_t* p = rgb + (static_cast<size_t>(y) * w + x) * 3;
+            float r = p[0], g = p[1], b = p[2];
+            Y[static_cast<size_t>(y) * w + x] =
+                0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
+        }
+    for (int y = 0; y < ch; ++y)
+        for (int x = 0; x < cw; ++x) {
+            float r = 0, g = 0, b = 0;
+            int n = 0;
+            for (int dy = 0; dy < 2; ++dy)
+                for (int dx = 0; dx < 2; ++dx) {
+                    int yy = 2 * y + dy, xx = 2 * x + dx;
+                    if (yy >= h || xx >= w) continue;
+                    const uint8_t* p =
+                        rgb + (static_cast<size_t>(yy) * w + xx) * 3;
+                    r += p[0]; g += p[1]; b += p[2];
+                    ++n;
+                }
+            r /= n; g /= n; b /= n;
+            Cb[static_cast<size_t>(y) * cw + x] =
+                -0.168736f * r - 0.331264f * g + 0.5f * b;
+            Cr[static_cast<size_t>(y) * cw + x] =
+                0.5f * r - 0.418688f * g - 0.081312f * b;
+        }
+
+    // headers
+    out.push_back(0xFF); out.push_back(0xD8);              // SOI
+    static const uint8_t app0[] = {0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I',
+                                   'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01,
+                                   0x00, 0x01, 0x00, 0x00};
+    out.insert(out.end(), app0, app0 + sizeof(app0));
+    for (int t = 0; t < 2; ++t) {                          // DQT x2
+        out.push_back(0xFF); out.push_back(0xDB);
+        be16(out, 67);
+        out.push_back(static_cast<uint8_t>(t));
+        const uint8_t* q = t == 0 ? qlum : qchr;
+        for (int i = 0; i < 64; ++i) out.push_back(q[kZigzag[i]]);
+    }
+    out.push_back(0xFF); out.push_back(0xC0);              // SOF0
+    be16(out, 17);
+    out.push_back(8);
+    be16(out, static_cast<uint16_t>(h));
+    be16(out, static_cast<uint16_t>(w));
+    out.push_back(3);
+    out.push_back(1); out.push_back(0x22); out.push_back(0);  // Y 2x2, qt0
+    out.push_back(2); out.push_back(0x11); out.push_back(1);  // Cb
+    out.push_back(3); out.push_back(0x11); out.push_back(1);  // Cr
+    struct { uint8_t cls_id; const uint8_t* bits; const uint8_t* vals; int n; }
+        tables[4] = {{0x00, kDcLumBits, kDcVals, 12},
+                     {0x10, kAcLumBits, kAcLumVals, 162},
+                     {0x01, kDcChrBits, kDcVals, 12},
+                     {0x11, kAcChrBits, kAcChrVals, 162}};
+    for (auto& t : tables) {                               // DHT x4
+        out.push_back(0xFF); out.push_back(0xC4);
+        be16(out, static_cast<uint16_t>(19 + t.n));
+        out.push_back(t.cls_id);
+        for (int i = 0; i < 16; ++i) out.push_back(t.bits[i]);
+        for (int i = 0; i < t.n; ++i) out.push_back(t.vals[i]);
+    }
+    out.push_back(0xFF); out.push_back(0xDA);              // SOS
+    be16(out, 12);
+    out.push_back(3);
+    out.push_back(1); out.push_back(0x00);
+    out.push_back(2); out.push_back(0x11);
+    out.push_back(3); out.push_back(0x11);
+    out.push_back(0); out.push_back(63); out.push_back(0);
+
+    // entropy-coded MCUs (16x16): 4 Y + Cb + Cr, edge-replicated
+    BitWriter bw(out);
+    int predY = 0, predCb = 0, predCr = 0;
+    auto grab = [](const std::vector<float>& plane, int ph, int pw, int y0,
+                   int x0, float blk[64]) {
+        for (int y = 0; y < 8; ++y)
+            for (int x = 0; x < 8; ++x) {
+                int yy = y0 + y, xx = x0 + x;
+                if (yy >= ph) yy = ph - 1;
+                if (xx >= pw) xx = pw - 1;
+                blk[y * 8 + x] = plane[static_cast<size_t>(yy) * pw + xx];
+            }
+    };
+    float blk[64];
+    for (int my = 0; my < h; my += 16)
+        for (int mx = 0; mx < w; mx += 16) {
+            for (int sy = 0; sy < 2; ++sy)
+                for (int sx = 0; sx < 2; ++sx) {
+                    grab(Y, h, w, my + 8 * sy, mx + 8 * sx, blk);
+                    encode_block(bw, blk, qlum, dcl, acl, predY);
+                }
+            grab(Cb, ch, cw, my / 2, mx / 2, blk);
+            encode_block(bw, blk, qchr, dcc, acc, predCb);
+            grab(Cr, ch, cw, my / 2, mx / 2, blk);
+            encode_block(bw, blk, qchr, dcc, acc, predCr);
+        }
+    bw.flush();
+    out.push_back(0xFF); out.push_back(0xD9);              // EOI
+}
+
+}  // namespace jpg
+
+namespace avi {
+
+inline void u32(std::vector<uint8_t>& o, uint32_t v) {
+    o.push_back(v & 0xff); o.push_back((v >> 8) & 0xff);
+    o.push_back((v >> 16) & 0xff); o.push_back((v >> 24) & 0xff);
+}
+inline void u16(std::vector<uint8_t>& o, uint16_t v) {
+    o.push_back(v & 0xff); o.push_back((v >> 8) & 0xff);
+}
+inline void fourcc(std::vector<uint8_t>& o, const char* s) {
+    o.insert(o.end(), s, s + 4);
+}
+
+}  // namespace avi
+
+extern "C" {
+
+// Encode one RGB frame (H, W, 3, uint8, row-major) as a baseline JPEG
+// file. Returns 0 on success.
+int vdpp_write_jpeg(const char* path, const uint8_t* rgb, int h, int w,
+                    int quality) {
+    if (h <= 0 || w <= 0) return 1;
+    std::vector<uint8_t> buf;
+    buf.reserve(static_cast<size_t>(h) * w / 2);
+    jpg::encode_frame(rgb, h, w, quality, buf);
+    FILE* fp = std::fopen(path, "wb");
+    if (!fp) return -1;
+    size_t written = std::fwrite(buf.data(), 1, buf.size(), fp);
+    std::fclose(fp);
+    return written == buf.size() ? 0 : -2;
+}
+
+// (F, H, W, 3) uint8 frames -> RIFF AVI with an MJPG video stream
+// (one baseline JPEG per frame, frames encoded in parallel threads).
+// Playable by VLC/mpv/ffmpeg/browsers without any external dependency.
+int vdpp_write_avi_mjpeg(const char* path, const uint8_t* rgb, int f, int h,
+                         int w, int fps_num, int fps_den, int quality) {
+    if (f <= 0 || h <= 0 || w <= 0 || fps_num <= 0 || fps_den <= 0) return 1;
+
+    std::vector<std::vector<uint8_t>> jpegs(f);
+    {
+        unsigned n_threads = std::max(1u, std::thread::hardware_concurrency());
+        n_threads = std::min<unsigned>(n_threads, static_cast<unsigned>(f));
+        std::vector<std::thread> ts;
+        std::size_t frame_px = static_cast<size_t>(h) * w * 3;
+        for (unsigned t = 0; t < n_threads; ++t)
+            ts.emplace_back([&, t] {
+                for (int i = static_cast<int>(t); i < f;
+                     i += static_cast<int>(n_threads))
+                    jpg::encode_frame(rgb + frame_px * i, h, w, quality,
+                                      jpegs[i]);
+            });
+        for (auto& th : ts) th.join();
+    }
+
+    size_t max_jpeg = 0, total = 0;
+    for (auto& j : jpegs) {
+        max_jpeg = std::max(max_jpeg, j.size());
+        total += j.size() + (j.size() & 1);
+    }
+
+    std::vector<uint8_t> out;
+    out.reserve(total + 4096);
+    using avi::u32; using avi::u16; using avi::fourcc;
+
+    fourcc(out, "RIFF");
+    size_t riff_size_at = out.size(); u32(out, 0);         // patched
+    fourcc(out, "AVI ");
+
+    fourcc(out, "LIST"); u32(out, 4 + 8 + 56 + 8 + (4 + 8 + 56 + 8 + 40));
+    fourcc(out, "hdrl");
+    fourcc(out, "avih"); u32(out, 56);
+    u32(out, static_cast<uint32_t>(1000000ull * fps_den / fps_num));  // us/frame
+    u32(out, 0);                                            // max bytes/sec
+    u32(out, 0);                                            // padding
+    u32(out, 0x10);                                         // HASINDEX
+    u32(out, static_cast<uint32_t>(f));
+    u32(out, 0);                                            // initial frames
+    u32(out, 1);                                            // streams
+    u32(out, static_cast<uint32_t>(max_jpeg));
+    u32(out, static_cast<uint32_t>(w));
+    u32(out, static_cast<uint32_t>(h));
+    u32(out, 0); u32(out, 0); u32(out, 0); u32(out, 0);     // reserved
+
+    fourcc(out, "LIST"); u32(out, 4 + 8 + 56 + 8 + 40);
+    fourcc(out, "strl");
+    fourcc(out, "strh"); u32(out, 56);
+    fourcc(out, "vids"); fourcc(out, "MJPG");
+    u32(out, 0); u16(out, 0); u16(out, 0);                  // flags, prio, lang
+    u32(out, 0);                                            // initial frames
+    u32(out, static_cast<uint32_t>(fps_den));               // scale
+    u32(out, static_cast<uint32_t>(fps_num));               // rate
+    u32(out, 0);                                            // start
+    u32(out, static_cast<uint32_t>(f));                     // length
+    u32(out, static_cast<uint32_t>(max_jpeg));              // bufsize
+    u32(out, 0xFFFFFFFFu);                                  // quality
+    u32(out, 0);                                            // samplesize
+    u16(out, 0); u16(out, 0);                               // rcFrame
+    u16(out, static_cast<uint16_t>(w)); u16(out, static_cast<uint16_t>(h));
+
+    fourcc(out, "strf"); u32(out, 40);                      // BITMAPINFOHEADER
+    u32(out, 40);
+    u32(out, static_cast<uint32_t>(w));
+    u32(out, static_cast<uint32_t>(h));
+    u16(out, 1); u16(out, 24);
+    fourcc(out, "MJPG");
+    u32(out, static_cast<uint32_t>(h) * w * 3);
+    u32(out, 0); u32(out, 0); u32(out, 0); u32(out, 0);
+
+    fourcc(out, "LIST");
+    size_t movi_size_at = out.size(); u32(out, 0);          // patched
+    size_t movi_start = out.size();
+    fourcc(out, "movi");
+    std::vector<uint32_t> offsets(f), sizes(f);
+    for (int i = 0; i < f; ++i) {
+        offsets[i] = static_cast<uint32_t>(out.size() - movi_start);
+        fourcc(out, "00dc");
+        u32(out, static_cast<uint32_t>(jpegs[i].size()));
+        sizes[i] = static_cast<uint32_t>(jpegs[i].size());
+        out.insert(out.end(), jpegs[i].begin(), jpegs[i].end());
+        if (out.size() & 1) out.push_back(0);               // even padding
+    }
+    uint32_t movi_size = static_cast<uint32_t>(out.size() - movi_start);
+    out[movi_size_at] = movi_size & 0xff;
+    out[movi_size_at + 1] = (movi_size >> 8) & 0xff;
+    out[movi_size_at + 2] = (movi_size >> 16) & 0xff;
+    out[movi_size_at + 3] = (movi_size >> 24) & 0xff;
+
+    fourcc(out, "idx1"); u32(out, static_cast<uint32_t>(16 * f));
+    for (int i = 0; i < f; ++i) {
+        fourcc(out, "00dc");
+        u32(out, 0x10);                                     // KEYFRAME
+        u32(out, offsets[i]);
+        u32(out, sizes[i]);
+    }
+
+    uint32_t riff_size = static_cast<uint32_t>(out.size() - 8);
+    out[riff_size_at] = riff_size & 0xff;
+    out[riff_size_at + 1] = (riff_size >> 8) & 0xff;
+    out[riff_size_at + 2] = (riff_size >> 16) & 0xff;
+    out[riff_size_at + 3] = (riff_size >> 24) & 0xff;
 
     FILE* fp = std::fopen(path, "wb");
     if (!fp) return -1;

@@ -60,6 +60,18 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
                     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ]
+            if hasattr(lib, "vdpp_write_avi_mjpeg"):
+                lib.vdpp_write_avi_mjpeg.restype = ctypes.c_int
+                lib.vdpp_write_avi_mjpeg.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.vdpp_write_jpeg.restype = ctypes.c_int
+                lib.vdpp_write_jpeg.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
             _lib = lib
         except OSError as e:
             LOGGER.debug("native load failed: %s", e)
@@ -106,6 +118,50 @@ def write_gif_native(path: str, frames_uint8: np.ndarray, fps: int = 7) -> str |
         LOGGER.warning("native gif writer failed rc=%d; imageio fallback", rc)
         return None
     return path
+
+
+def write_avi_mjpeg(
+    path: str, frames_uint8: np.ndarray, fps: int = 7, quality: int = 90
+) -> str | None:
+    """Write (F, H, W, 3) uint8 frames as a PLAYABLE compressed video:
+    baseline JFIF JPEGs (encoded in parallel C++ threads) in a RIFF AVI
+    'MJPG' stream — decodable by VLC/mpv/ffmpeg/browsers with no
+    external dependency. The dependency-free stand-in for the
+    reference's imageio/ffmpeg MP4 leg
+    (reference: scripts/generate_video_demo.py:425-443). Returns None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vdpp_write_avi_mjpeg"):
+        return None
+    frames_uint8 = np.ascontiguousarray(frames_uint8, np.uint8)
+    f, h, w, _ = frames_uint8.shape
+    rc = lib.vdpp_write_avi_mjpeg(
+        path.encode(),
+        frames_uint8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        f, h, w, int(fps), 1, int(quality),
+    )
+    if rc != 0:
+        LOGGER.warning("native avi writer failed rc=%d", rc)
+        return None
+    return path
+
+
+def write_jpeg_native(
+    path: str, frame_uint8: np.ndarray, quality: int = 90
+) -> str | None:
+    """Write one (H, W, 3) uint8 frame as a baseline JPEG. Returns None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vdpp_write_jpeg"):
+        return None
+    frame_uint8 = np.ascontiguousarray(frame_uint8, np.uint8)
+    h, w, _ = frame_uint8.shape
+    rc = lib.vdpp_write_jpeg(
+        path.encode(),
+        frame_uint8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, int(quality),
+    )
+    return path if rc == 0 else None
 
 
 def write_y4m(path: str, frames_uint8: np.ndarray, fps: int = 7) -> str:

@@ -37,9 +37,10 @@ def build_output_name(
 
 
 def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
-    """Write (F, H, W, 3) uint8 frames as MP4; without an ffmpeg backend
-    falls back to Y4M (native C++ writer, losslessly mp4-convertible),
-    then GIF."""
+    """Write (F, H, W, 3) uint8 frames as the best available PLAYABLE
+    container: MP4 when an ffmpeg backend exists; else MJPEG-AVI (native
+    C++ baseline-JPEG encoder — playable everywhere, no dependencies);
+    else Y4M (lossless, mp4-convertible); else GIF."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import imageio.v3 as iio
@@ -48,7 +49,26 @@ def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
         LOGGER.info("wrote %s (%d frames)", path, len(frames_uint8))
         return path
     except Exception as e:  # pragma: no cover - backend-dependent
-        LOGGER.warning("mp4 write failed (%s); falling back to y4m", e)
+        LOGGER.warning("mp4 write failed (%s); falling back to avi", e)
+        from vdpp_tpu.utils.native import write_avi_mjpeg
+
+        avi_path = os.path.splitext(path)[0] + ".avi"
+        if write_avi_mjpeg(avi_path, frames_uint8, fps=fps):
+            LOGGER.info(
+                "wrote %s (%d frames, native MJPEG)", avi_path,
+                len(frames_uint8),
+            )
+            # keep the LOSSLESS leg alongside the playable one (JPEG is
+            # lossy; y4m converts losslessly to mp4 on any ffmpeg host)
+            try:
+                from vdpp_tpu.utils.native import write_y4m
+
+                y4m_path = os.path.splitext(path)[0] + ".y4m"
+                write_y4m(y4m_path, frames_uint8, fps=fps)
+                LOGGER.info("wrote %s (lossless archival)", y4m_path)
+            except Exception as e2:
+                LOGGER.warning("y4m archival write failed: %s", e2)
+            return avi_path
         try:
             from vdpp_tpu.utils.native import write_y4m
 
