@@ -171,6 +171,31 @@ def test_svd_pipeline_x_halo_seq_parallel():
     )
 
 
+def test_svd_pipeline_x_halo_seq_x_cfg():
+    """3-axis (stage, seq, cfg) mesh for the SVD UNet: step pipeline x
+    halo-exchange W sharding x CFG branch parallelism in ONE program —
+    all three of the framework's latency axes composed on the flagship
+    model family."""
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, params, cond, latent = _svd_setup()
+    bundle = (params, cond)
+    inputs = jnp.stack([latent, latent * 0.5 + 0.1])
+
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, inputs, STEPS
+    )
+
+    mesh = make_axes_mesh(stage=2, seq=2, cfg=2)
+    step = model.pipeline_step_fn(seq_axis="seq", seq_shards=2,
+                                  cfg_axis="cfg")
+    pipe = StepPipeline(mesh, step, PipelineConfig(STEPS, 2))
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_svd_halo_seq_rejects_indivisible_width():
     from jax.sharding import PartitionSpec as P
 

@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="halo-exchange W sharding width per stage: a "
+                        "(stage, seq[, cfg]) mesh (latent W must divide "
+                        "by sp x 2^(levels-1))")
     p.add_argument("--cfg-parallel", action="store_true",
                    help="run the uncond/cond CFG branches concurrently on a "
                         "size-2 'cfg' mesh axis inside every stage (needs "
@@ -73,14 +77,26 @@ def main(argv=None) -> int:
 
     b, c, f, h, w = args.latent_shape
     config = SVDUNetConfig.tiny() if args.preset == "tiny" else SVDUNetConfig.svd_xt()
-    if args.cfg_parallel:
-        if args.guidance_scale is None:
-            raise SystemExit("--cfg-parallel needs --guidance-scale")
+    sp = args.seq_parallel
+    if sp > 1 and w % (sp * 2 ** (config.num_levels - 1)) != 0:
+        raise SystemExit(
+            f"--seq-parallel {sp}: latent width {w} must divide by "
+            f"sp x 2^(levels-1) = {sp * 2 ** (config.num_levels - 1)}"
+        )
+    if args.cfg_parallel and args.guidance_scale is None:
+        raise SystemExit("--cfg-parallel needs --guidance-scale")
+    if args.cfg_parallel or sp > 1:
         from vdpp_tpu.parallel.mesh import make_axes_mesh
 
+        per_stage = sp * (2 if args.cfg_parallel else 1)
         if args.num_stages is None:
-            args.num_stages = len(jax.devices()) // 2
-        mesh = make_axes_mesh(stage=args.num_stages, cfg=2)
+            args.num_stages = len(jax.devices()) // per_stage
+        axes = {"stage": args.num_stages}
+        if sp > 1:
+            axes["seq"] = sp
+        if args.cfg_parallel:
+            axes["cfg"] = 2
+        mesh = make_axes_mesh(**axes)
     else:
         mesh = make_pipeline_mesh(args.num_stages)
     stages = mesh.shape["stage"]
@@ -120,7 +136,10 @@ def main(argv=None) -> int:
         noise_aug_strength=args.noise_aug_strength,
     )
     bundle = (params, cond)
-    step_fn = model.pipeline_step_fn(cfg_axis="cfg" if args.cfg_parallel else None)
+    step_fn = model.pipeline_step_fn(
+        cfg_axis="cfg" if args.cfg_parallel else None,
+        seq_axis="seq" if sp > 1 else None, seq_shards=sp,
+    )
 
     # Per-sample seeded noise x init_noise_sigma
     # (reference: src/modes/production.py:127-132).
