@@ -4,7 +4,14 @@ Times the Pallas kernel at SVD's level-0 attention shape
 (B=frames=14, L=72*128=9216, heads=5, D=64) across block configs, plus
 the XLA fused attention at a frame-chunked batch as a reference point.
 
-Usage: python scripts/bench_attention.py [--l 9216] [--b 14] [--heads 5]
+``--chained N`` uses the HONEST harness (round-3 finding: the remote
+relay returns optimistically for array outputs and adds ~25 ms of
+per-dispatch overhead): N data-dependent kernel calls inside one
+``lax.scan`` with an in-jit scalar readback, time divided by N. Use it
+for any sub-50 ms program; the default per-dispatch mode is only
+meaningful on locally attached TPUs.
+
+Usage: python scripts/bench_attention.py --chained 20 [--l 2304 --heads 10]
 """
 
 from __future__ import annotations
@@ -26,6 +33,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sections", default="pallas,official,splash,xla",
                     help="comma list of kernel families to run")
+    ap.add_argument("--chained", type=int, default=0,
+                    help="chain N calls in one scan + scalar readback "
+                         "(the honest remote-relay harness); 0 = off")
     args = ap.parse_args()
 
     import jax
@@ -48,9 +58,27 @@ def main():
     flops = 4 * b * h * l * l * d  # qk + pv, mult-add
 
     def bench(name, fn):
+        iters = max(1, args.chained)
+        if args.chained:
+            inner = fn
+
+            def chained_fn(q, k, v):
+                def body(qc, _):
+                    return inner(qc, k, v).astype(qc.dtype), None
+
+                out, _ = jax.lax.scan(body, q, None, length=iters)
+                return jnp.sum(out.astype(jnp.float32))
+
+            run = jax.jit(chained_fn)
+
+            def timed(qi, ki, vi):
+                return float(run(qi, ki, vi))
+        else:
+            def timed(qi, ki, vi):
+                return jax.block_until_ready(fn(qi, ki, vi))
         try:
             t0 = time.time()
-            out = jax.block_until_ready(fn(q, k, v))
+            timed(q, k, v)
             compile_s = time.time() - t0
             times = []
             for r in range(args.reps):
@@ -59,9 +87,9 @@ def main():
                 # CLAUDE.md remote-timing caveat).
                 qi, ki, vi = fresh_qkv(100 + r)
                 t0 = time.time()
-                jax.block_until_ready(fn(qi, ki, vi))
+                timed(qi, ki, vi)
                 times.append(time.time() - t0)
-            best = min(times)
+            best = min(times) / iters
             print(
                 f"{name:24s}: {best*1e3:8.2f} ms  "
                 f"({flops/best/1e12:6.1f} TFLOP/s)  compile {compile_s:.0f}s",

@@ -342,8 +342,10 @@ def test_flash_block_pick_floor_512():
     were the measured-slow pre-sweep configs)."""
     from vdpp_tpu.ops.flash_attention import _pick_blocks
 
-    assert _pick_blocks(9216, 9216, 1536, 1536, 1536)[0] == 1536
-    assert _pick_blocks(2304, 2304, 1536, 1536, 1536)[0] == 768
+    assert _pick_blocks(9216, 9216, 1536, 1536, 1536) == (1536, 1536, 1536)
+    # k-major shrinks with the same no-gross-padding rule as q (measured
+    # +29% at L=2304 — docs/performance.md round-3 L1/L2 sweep)
+    assert _pick_blocks(2304, 2304, 1536, 1536, 1536) == (768, 768, 768)
     for lq in (1600, 1664, 1792, 2304, 9216, 576):
         assert _pick_blocks(lq, lq, 1536, 1536, 1536)[0] >= 512
 

@@ -252,18 +252,27 @@ def _round_up(x: int, m: int) -> int:
 def _pick_blocks(lq: int, lk: int, block_q: int, block_k_major: int, block_k: int):
     """Clamp requested blocks to the 128-rounded sequence lengths (avoids
     gross padding when a block exceeds the sequence), then halve the q
-    block while that strictly reduces q padding (floor 512): large q
-    blocks win only when they tile the sequence about as cleanly — e.g.
-    1536 stays 1536 at L=9216 (6 clean blocks) but drops to 768 at
-    L=2304 (3 clean blocks instead of 2 blocks with 768 padded rows)."""
+    AND k-major blocks while that strictly reduces padding (floor 512):
+    large blocks win only when they tile the sequence about as cleanly —
+    e.g. 1536 stays 1536 at L=9216 (6 clean blocks) but drops to 768 at
+    L=2304 (3 clean blocks instead of 2 blocks with 768 padded rows).
+    The k-side shrink is round 3's honest-harness finding: at L=2304 the
+    33%-padded 1536 k block measured 4.27 ms vs 3.03 ms for 768
+    (+29% from eliminating masked-key passes)."""
     bq = min(block_q, _round_up(lq, 128))
 
-    def pad(b: int) -> int:
+    def pad_q(b: int) -> int:
         return -lq % b
 
-    while bq // 2 >= 512 and pad(bq // 2) < pad(bq):
+    while bq // 2 >= 512 and pad_q(bq // 2) < pad_q(bq):
         bq //= 2
     bkm = min(block_k_major, _round_up(lk, 128))
+
+    def pad_k(b: int) -> int:
+        return -lk % b
+
+    while bkm // 2 >= 512 and pad_k(bkm // 2) < pad_k(bkm):
+        bkm //= 2
     bk = min(block_k, bkm)
     if bkm % bk != 0:
         bk = bkm
