@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--latent-hw", type=int, nargs=2, default=[16, 16],
                    metavar=("H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="token/W sharding width per stage — a "
+                        "(stage, seq) mesh (DiT: token shards; SVD: "
+                        "halo-exchange W shards)")
     p.add_argument("--decode-devices", type=int, default=0,
                    help="reserve this many devices (after the stage "
                         "devices) for VAE decode, so pipeline ticks "
@@ -123,13 +127,17 @@ class _Engine:
         # Chunk-parallel decode shards across the reserved subset.
         from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
 
+        sp = getattr(args, "seq_parallel", 1)
         self.mesh, self.decode_mesh = make_pipeline_and_decode_meshes(
-            args.num_stages, args.decode_devices, args.backend
+            args.num_stages, args.decode_devices, args.backend, seq=sp,
         )
         self.stages = self.mesh.shape["stage"]
+        step_kwargs = (
+            {"seq_axis": "seq", "seq_shards": sp} if sp > 1 else {}
+        )
         self.pipe = StepPipeline(
             self.mesh,
-            self.model.pipeline_step_fn(),
+            self.model.pipeline_step_fn(**step_kwargs),
             PipelineConfig(args.steps, self.stages),
         )
         self.lock = threading.Lock()  # stream creation + counters

@@ -181,25 +181,42 @@ def make_pipeline_and_decode_meshes(
     num_stages: int | None,
     decode_devices: int,
     backend: str | None = None,
+    seq: int = 1,
 ) -> tuple[Mesh, Mesh | None]:
     """Stage mesh plus an optional RESERVED decode mesh from one device
     list (task decoupling: decode work never lands on a stage device).
 
     ``num_stages=None`` auto-sizes to all devices left after the
-    reservation. Both meshes draw from the same backend-resolved device
-    list — resolving twice with different backends could silently hand
-    the "reserved" decode devices back to the stages.
+    reservation. ``seq>1`` makes each stage a seq-sharded group — a
+    (stage, seq) mesh. Both meshes draw from the same backend-resolved
+    device list — resolving twice with different backends could silently
+    hand the "reserved" decode devices back to the stages.
     """
     if not decode_devices:
+        if seq > 1:
+            n = num_stages
+            if n is None:
+                n = len(available_devices(backend)) // seq
+            return make_axes_mesh(backend, **{STAGE_AXIS: n, SEQ_AXIS: seq}), None
         return make_pipeline_mesh(num_stages, backend), None
     devices = available_devices(backend)
-    stages = num_stages if num_stages is not None else len(devices) - decode_devices
-    need = stages + decode_devices
+    stages = (
+        num_stages if num_stages is not None
+        else (len(devices) - decode_devices) // seq
+    )
+    need = stages * seq + decode_devices
     if stages < 1 or need > len(devices):
         raise ValueError(
-            f"{stages} stages + {decode_devices} decode devices need "
-            f"{need} devices, have {len(devices)}"
+            f"{stages} stages x {seq} seq + {decode_devices} decode devices "
+            f"need {need} devices, have {len(devices)}"
         )
-    stage_mesh = Mesh(np.array(devices[:stages]), (STAGE_AXIS,))
-    decode_mesh = Mesh(np.array(devices[stages:need]), (DATA_AXIS,))
+    if seq > 1:
+        stage_mesh = Mesh(
+            np.array(devices[: stages * seq]).reshape(stages, seq),
+            (STAGE_AXIS, SEQ_AXIS),
+        )
+    else:
+        stage_mesh = Mesh(np.array(devices[:stages]), (STAGE_AXIS,))
+    decode_mesh = Mesh(
+        np.array(devices[stages * seq: need]), (DATA_AXIS,))
     return stage_mesh, decode_mesh
