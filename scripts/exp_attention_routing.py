@@ -29,15 +29,19 @@ def log(msg):
 
 
 def bench_call(fn, make_args, reps=3):
+    """Times ``fn`` by fetching an in-jit SCALAR reduction of its output:
+    ``block_until_ready`` on an array output returns optimistically
+    through the remote relay (CLAUDE.md round-3 timing caveat)."""
     import jax
+    import jax.numpy as jnp
 
-    out = jax.block_until_ready(fn(*make_args(0)))  # compile
-    del out
+    scalar = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    float(scalar(*make_args(0)))  # compile
     times = []
     for i in range(1, reps + 1):
         args = make_args(i)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(scalar(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 
