@@ -176,6 +176,7 @@ def main(argv=None) -> int:
     from vdpp_tpu.utils.bench_json import benchmark_results_dict, emit_benchmark_json
     from vdpp_tpu.utils.logging import setup_logging
     from vdpp_tpu.utils.memory import peak_memory_gb_per_device
+    from vdpp_tpu.utils.profiling import force_sync
 
     from vdpp_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -230,7 +231,8 @@ def main(argv=None) -> int:
             # by the remote relay and report ~0 ms (CLAUDE.md caveat).
             j = args.warmup_samples + i
             t0 = time.perf_counter()
-            jax.block_until_ready(runner.run(bundle, inputs[j : j + 1]))
+            force_sync(jax.block_until_ready(
+                runner.run(bundle, inputs[j : j + 1])))
             per_sample.append(time.perf_counter() - t0)
         first = per_sample[0]
         steady = sum(per_sample) / len(per_sample)
@@ -310,10 +312,10 @@ def main(argv=None) -> int:
                 jax.random.key(args.seed + 3), inputs.shape, inputs.dtype
             )
             t0 = time.perf_counter()
-            jax.block_until_ready(pipe.run(bundle, fresh[:dp]))
+            force_sync(jax.block_until_ready(pipe.run(bundle, fresh[:dp])))
             first = time.perf_counter() - t0
             t0 = time.perf_counter()
-            jax.block_until_ready(pipe.run(bundle, fresh))
+            force_sync(jax.block_until_ready(pipe.run(bundle, fresh)))
             total = time.perf_counter() - t0
             # steady state emits dp samples per pipeline tick-period
             steady = (total - first) / max(total_n - dp, 1)

@@ -21,9 +21,26 @@ import jax
 LOGGER = logging.getLogger(__name__)
 
 
+def force_sync(x):
+    """Fence that remote relays cannot fake: fetch ONE element to host.
+
+    ``block_until_ready`` on an array output can return optimistically
+    through remote-device relays (CLAUDE.md round-3 timing caveat); a
+    1-element device-to-host transfer cannot complete before the
+    producing computation has, and costs ~ms even over a slow tunnel.
+    Returns ``x`` so it can wrap the tail of a timed expression.
+    """
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        arr = leaves[0]
+        jax.device_get(jax.numpy.ravel(arr)[:1])
+    return x
+
+
 @contextlib.contextmanager
 def phase_timer(name: str, *fence_on):
-    """Time a phase; fences async dispatch on the given arrays at exit."""
+    """Time a phase; fences async dispatch on the given arrays at exit
+    (1-element readback per array — see force_sync)."""
     t0 = time.perf_counter()
     result: dict = {}
     try:
@@ -31,6 +48,7 @@ def phase_timer(name: str, *fence_on):
     finally:
         for arr in fence_on:
             jax.block_until_ready(arr)
+            force_sync(arr)
         result["seconds"] = time.perf_counter() - t0
         LOGGER.info("[phase %s] %.3f s", name, result["seconds"])
 
