@@ -484,17 +484,22 @@ struct BitWriter {
     }
 };
 
-void fdct8x8(const float in[64], float out[64]) {
-    static float a[8][8];
-    static bool init = false;
-    if (!init) {
+struct DctTable {
+    float a[8][8];
+    DctTable() {
         for (int u = 0; u < 8; ++u)
             for (int x = 0; x < 8; ++x)
                 a[u][x] = 0.5f *
                           (u == 0 ? 0.70710678f : 1.0f) *
                           std::cos((2 * x + 1) * u * 3.14159265358979f / 16.0f);
-        init = true;
     }
+};
+
+void fdct8x8(const float in[64], float out[64]) {
+    // C++11 magic static: thread-safe init (frames encode in parallel;
+    // a hand-rolled lazy-init bool would race)
+    static const DctTable tbl;
+    const auto& a = tbl.a;
     float tmp[64];
     for (int u = 0; u < 8; ++u)
         for (int x = 0; x < 8; ++x) {

@@ -50,7 +50,16 @@ def compiled_text():
 
 
 def test_whole_schedule_is_one_while_program(compiled_text):
-    assert re.search(r"while\(", compiled_text) or "while" in compiled_text
+    """The tick schedule is device-side loops in ONE program: at least
+    one while op (zero would mean host-driven per-tick dispatch — the
+    reference's shape), and no more than two (the fused tick scan plus
+    at most one nested model loop; a blow-up would mean the schedule
+    fragmented). The hand-off-inside-the-loop property is pinned by
+    test_tick_handoff_is_single_nearest_neighbor_ring."""
+    while_ops = re.findall(r"=.* while\(", compiled_text)
+    assert 1 <= len(while_ops) <= 2, (
+        f"expected 1-2 while ops, found {len(while_ops)}"
+    )
 
 
 def test_tick_handoff_is_single_nearest_neighbor_ring(compiled_text):

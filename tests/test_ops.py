@@ -249,6 +249,26 @@ def test_flash_static_max_softmax_matches_running():
     assert bool(jnp.all(jnp.isfinite(huge)))
 
 
+def test_flash_static_max_all_negative_logits_no_collapse():
+    """Round-3 code-review regression: a row whose logits ALL underflow
+    exp2 must not collapse to zero output (l==0 fallback). The lower
+    clamp flattens such rows to the uniform average — which for
+    equal logits IS the exact softmax. Also: padding must stay masked in
+    the same regime."""
+    b, l, h, d = 1, 200, 1, 64  # 200 -> padded to 256: mask path active
+    q = jnp.full((b, l, h, d), 4.0, jnp.float32)
+    k = jnp.full((b, l, h, d), -4.0, jnp.float32)
+    v = jnp.broadcast_to(
+        jnp.linspace(0.5, 1.5, l, dtype=jnp.float32)[None, :, None, None],
+        (b, l, h, d),
+    )
+    ref = _sdpa_xla(q, k, v)  # uniform weights -> mean(v) = 1.0, NOT 0
+    got = flash_attention(q, k, v, block_q=128, block_k=128, static_max=True)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    assert float(jnp.min(jnp.abs(got))) > 0.5, "collapsed to zero"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
 def test_flash_attention_large_head_dim():
     # VAE mid-block style: single head, head_dim > 128.
     rng = np.random.default_rng(10)

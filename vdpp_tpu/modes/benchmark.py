@@ -308,9 +308,11 @@ def main(argv=None) -> int:
             # deduplicated by the remote relay (~0 ms; CLAUDE.md caveat).
             jax.block_until_ready(pipe.run(bundle, inputs[:dp]))
             jax.block_until_ready(pipe.run(bundle, inputs))
-            fresh = jax.random.normal(
+            # readied BEFORE the timed window: the lazily dispatched RNG
+            # program must not bill its cost to the measured run
+            fresh = jax.block_until_ready(jax.random.normal(
                 jax.random.key(args.seed + 3), inputs.shape, inputs.dtype
-            )
+            ))
             t0 = time.perf_counter()
             force_sync(jax.block_until_ready(pipe.run(bundle, fresh[:dp])))
             first = time.perf_counter() - t0

@@ -83,9 +83,9 @@ def main(argv=None) -> int:
     # optimistically for array outputs (CLAUDE.md timing caveat).
     from vdpp_tpu.utils.profiling import force_sync
 
-    fresh = jax.random.normal(
+    fresh = jax.block_until_ready(jax.random.normal(
         jax.random.key(args.seed + 3), inputs.shape, jnp.float32
-    )
+    ))
     t0 = time.perf_counter()
     force_sync(jax.block_until_ready(runner.run(bundle, fresh)))
     total = time.perf_counter() - t0

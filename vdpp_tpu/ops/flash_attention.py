@@ -69,12 +69,20 @@ def _aug_width(d: int) -> int:
     return ((d + 1 + 127) // 128) * 128
 
 
-# Static-max clamp, log2 domain. exp2(_S_CLAMP) * L keys must stay finite
-# in the fp32 denominator: 2^100 * 2^14 = 2^114 << 2^128. Post-norm
-# activations put logits orders of magnitude below this, so the clamp
-# never engages in practice — it only guards pathological inputs, for
-# which the softmax saturates to the clamped one-hot anyway.
+# Static-max clamps, log2 domain. Upper: exp2(_S_CLAMP) * L keys must
+# stay finite in the fp32 denominator (2^100 * 2^14 = 2^114 << 2^128).
+# Lower: a whole row of strongly negative logits must not underflow to
+# l == 0 (which would collapse the output to zero — caught by round-3
+# code review with q=4*ones, k=-4*ones); clipping at -100 keeps
+# l >= 2^-100, far above the fp32 denormal line. Post-norm activations
+# put |logits| orders of magnitude inside +-100, so neither clamp
+# engages in practice; outside them the softmax saturates gracefully.
+# Masked (padded) keys are set to _PAD_LOGIT *after* the clip: exp2(-126)
+# is ~1.5e-8 of the smallest possible valid weight exp2(-100) — masked
+# keys stay negligible even in the all-underflow regime.
 _S_CLAMP = 100.0
+_S_CLAMP_LO = -100.0
+_PAD_LOGIT = -126.0
 
 
 def _flash_kernel(
@@ -105,7 +113,6 @@ def _flash_kernel(
                 + ki_major * bk_major
                 + start
             )
-            s = jnp.where(col < kv_valid, s, _MASK_VALUE)
 
         if static_max:
             # Static-max softmax: exp2(s) directly — the subtracted max is
@@ -113,9 +120,14 @@ def _flash_kernel(
             # normalization, so dropping it changes only fp32 rounding.
             # Removes the per-tile (BQ,BK) max-reduce, the subtract, and
             # the (BQ,AUG) accumulator rescale — the kernel is VPU-bound
-            # on exactly these passes (module docstring). The clamp
-            # replaces the running max as the overflow guard.
-            p = jnp.exp2(jnp.minimum(s, _S_CLAMP))
+            # on exactly these passes (module docstring). The two-sided
+            # clamp replaces the running max as the overflow AND
+            # underflow guard (see _S_CLAMP notes); padded keys are set
+            # below the lower clamp AFTER it so they stay negligible.
+            s = jnp.clip(s, _S_CLAMP_LO, _S_CLAMP)
+            if need_mask:
+                s = jnp.where(col < kv_valid, s, _PAD_LOGIT)
+            p = jnp.exp2(s)
             pv = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, start : start + bk, :],
                 (((1,), (0,)), ((), ())),
@@ -124,6 +136,8 @@ def _flash_kernel(
             acc_scr[:] = acc_scr[:] + pv
             continue
 
+        if need_mask:
+            s = jnp.where(col < kv_valid, s, _MASK_VALUE)
         m_prev = m_scr[:, :1]  # (BQ, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)

@@ -67,6 +67,7 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ]
+            if hasattr(lib, "vdpp_write_jpeg"):
                 lib.vdpp_write_jpeg.restype = ctypes.c_int
                 lib.vdpp_write_jpeg.argtypes = [
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),

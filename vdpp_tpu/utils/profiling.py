@@ -22,17 +22,16 @@ LOGGER = logging.getLogger(__name__)
 
 
 def force_sync(x):
-    """Fence that remote relays cannot fake: fetch ONE element to host.
+    """Fence that remote relays cannot fake: fetch ONE element per leaf.
 
     ``block_until_ready`` on an array output can return optimistically
     through remote-device relays (CLAUDE.md round-3 timing caveat); a
     1-element device-to-host transfer cannot complete before the
     producing computation has, and costs ~ms even over a slow tunnel.
-    Returns ``x`` so it can wrap the tail of a timed expression.
+    Every leaf is fenced — distinct leaves may come from distinct
+    dispatches. Returns ``x`` so it can wrap a timed expression's tail.
     """
-    leaves = jax.tree_util.tree_leaves(x)
-    if leaves:
-        arr = leaves[0]
+    for arr in jax.tree_util.tree_leaves(x):
         jax.device_get(jax.numpy.ravel(arr)[:1])
     return x
 

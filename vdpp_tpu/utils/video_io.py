@@ -36,11 +36,25 @@ def build_output_name(
     return f"{prefix}_{ts}_f{num_frames}_s{steps}_st{stages}_fps{fps}_seed{seed}.{ext}"
 
 
+def _try_write_y4m(path: str, frames_uint8: np.ndarray, fps: int) -> str | None:
+    """Best-effort lossless Y4M next to ``path``; None on failure."""
+    try:
+        from vdpp_tpu.utils.native import write_y4m
+
+        y4m_path = os.path.splitext(path)[0] + ".y4m"
+        write_y4m(y4m_path, frames_uint8, fps=fps)
+        LOGGER.info("wrote %s (%d frames)", y4m_path, len(frames_uint8))
+        return y4m_path
+    except Exception as e:
+        LOGGER.warning("y4m write failed: %s", e)
+        return None
+
+
 def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
     """Write (F, H, W, 3) uint8 frames as the best available PLAYABLE
     container: MP4 when an ffmpeg backend exists; else MJPEG-AVI (native
-    C++ baseline-JPEG encoder — playable everywhere, no dependencies);
-    else Y4M (lossless, mp4-convertible); else GIF."""
+    C++ baseline-JPEG encoder — playable everywhere, no dependencies)
+    plus a lossless Y4M alongside; else Y4M; else GIF."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import imageio.v3 as iio
@@ -60,26 +74,13 @@ def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
             )
             # keep the LOSSLESS leg alongside the playable one (JPEG is
             # lossy; y4m converts losslessly to mp4 on any ffmpeg host)
-            try:
-                from vdpp_tpu.utils.native import write_y4m
-
-                y4m_path = os.path.splitext(path)[0] + ".y4m"
-                write_y4m(y4m_path, frames_uint8, fps=fps)
-                LOGGER.info("wrote %s (lossless archival)", y4m_path)
-            except Exception as e2:
-                LOGGER.warning("y4m archival write failed: %s", e2)
+            _try_write_y4m(path, frames_uint8, fps)
             return avi_path
-        try:
-            from vdpp_tpu.utils.native import write_y4m
-
-            y4m_path = os.path.splitext(path)[0] + ".y4m"
-            write_y4m(y4m_path, frames_uint8, fps=fps)
-            LOGGER.info("wrote %s (%d frames)", y4m_path, len(frames_uint8))
+        y4m_path = _try_write_y4m(path, frames_uint8, fps)
+        if y4m_path:
             return y4m_path
-        except Exception as e2:
-            LOGGER.warning("y4m write failed (%s); falling back to gif", e2)
-            gif_path = os.path.splitext(path)[0] + ".gif"
-            return save_video_gif(frames_uint8, gif_path, fps=fps)
+        gif_path = os.path.splitext(path)[0] + ".gif"
+        return save_video_gif(frames_uint8, gif_path, fps=fps)
 
 
 def save_video_gif(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
