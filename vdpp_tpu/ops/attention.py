@@ -216,12 +216,15 @@ def attention(
 
     if m == 1 and (context is not None or seq_axis is None):
         # Single-key cross-attention: softmax == 1 -> output is v broadcast.
-        # NOT taken for sequence-parallel self-attention: there m is the
-        # LOCAL shard length — a 1-token shard must still gather and
-        # attend over the full key set below.
+        # Project through to_out BEFORE broadcasting: linear commutes with
+        # row broadcast (identical rows), so to_out runs on (B, 1, C)
+        # instead of an (B*L, C) GEMM over L replicated rows — ~26 GFLOP
+        # saved per SVD spatial site. NOT taken for sequence-parallel
+        # self-attention: there m is the LOCAL shard length — a 1-token
+        # shard must still gather and attend over the full key set below.
         v = linear(ctx, params["to_v"])
-        out = jnp.broadcast_to(v, (b, l, c))
-        return linear(out, params["to_out"])
+        out = linear(v, params["to_out"])  # (B, 1, C)
+        return jnp.broadcast_to(out, (b, l, c))
 
     fused = _qkv_fused(x, params) if context is None and _fuse_qkv() else None
     if fused is not None:
