@@ -99,6 +99,119 @@ def test_model_bytes_halve_and_forward_close():
     assert rel < 0.05, rel  # weight-only int8: small relative drift
 
 
+def test_a8_marking_rules():
+    """quantize_tree(act_int8=True): only 2-D linears and 4-D spatial
+    convs with >= 64 in AND out channels get the "q8" mark; first/last
+    thin layers, temporal convs (5-D), and MoE stacks stay weight-only."""
+    from vdpp_tpu.ops.conv import init_conv2d, init_conv_temporal
+
+    k = jax.random.key(0)
+    tree = {
+        "big_lin": init_linear(k, 64, 128),
+        "thin_lin": init_linear(k, 8, 128),
+        "big_conv": init_conv2d(k, 64, 64),
+        "in_conv": init_conv2d(k, 8, 64),
+        "t_conv": init_conv_temporal(k, 64, 64),
+        "moe": {"w_in": jax.random.normal(k, (4, 64, 128), jnp.float32)},
+    }
+    q = quantize_tree(tree, min_size=0, act_int8=True)
+    assert "q8" in q["big_lin"]["w"] and "q" not in q["big_lin"]["w"]
+    assert "q8" in q["big_conv"]["w"]
+    for name in ("thin_lin", "in_conv", "t_conv"):
+        assert "q" in q[name]["w"] and "q8" not in q[name]["w"], name
+    assert "q" in q["moe"]["w_in"]
+    # default (weight-only) never marks
+    q2 = quantize_tree(tree, min_size=0)
+    assert all("q8" not in leaf["w"] for leaf in
+               (q2["big_lin"], q2["big_conv"]))
+
+
+def test_int8_dot_matches_manual():
+    """int8_dot is EXACTLY per-row symmetric quantization + integer GEMM
+    + the two-scale dequant — pinned against a numpy re-derivation."""
+    from vdpp_tpu.ops.quant import int8_dot
+
+    x = jax.random.normal(jax.random.key(1), (5, 32), jnp.float32) * 3.0
+    p = quantize_tree(init_linear(jax.random.key(2), 32, 48), min_size=0,
+                      act_int8=False)
+    # hand-build an a8 weight from the weight-only form
+    wq = {"q8": p["w"]["q"], "scale": p["w"]["scale"]}
+
+    xs = np.abs(np.asarray(x)).max(axis=-1, keepdims=True) / 127.0
+    qx = np.clip(np.round(np.asarray(x) / xs), -127, 127).astype(np.int32)
+    want = (qx @ np.asarray(wq["q8"], np.int32)) * xs * np.asarray(wq["scale"])
+    got = np.asarray(int8_dot(x, wq))
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+
+def _int_representable(key, shape, lo=-127, hi=127):
+    """Random integer-valued floats whose per-tensor amax is exactly 127,
+    so symmetric int8 quantization is LOSSLESS (scale == 1, q == x)."""
+    v = jax.random.randint(key, shape, lo, hi + 1).astype(jnp.float32)
+    flat = v.reshape(-1)
+    v = flat.at[0].set(127.0).reshape(shape)
+    return v
+
+
+def test_a8_conv_geometry_exact_against_float_conv():
+    """With losslessly-representable activations AND weights, the a8
+    im2col GEMM must EXACTLY equal the float lax.conv — pinning the
+    patch order, SAME-padding split, and stride alignment at stride 1
+    and 2, odd and even spatial sizes."""
+    from vdpp_tpu.ops.conv import conv2d
+
+    for stride, hw in [(1, 9), (1, 8), (2, 8), (2, 12)]:
+        kx, kw = jax.random.split(jax.random.key(10 * stride + hw))
+        x = _int_representable(kx, (2, hw, hw, 64))
+        w = jax.random.randint(kw, (3, 3, 64, 64), -127, 128).astype(jnp.float32)
+        # per-channel lossless: force each output channel's amax to 127
+        w = w.at[0, 0, 0, :].set(127.0)
+        b = jax.random.normal(jax.random.key(3), (64,), jnp.float32)
+        pf = {"w": w, "b": b}
+        pq = {"w": quantize_weight(w, a8=True), "b": b}
+        assert "q8" in pq["w"]
+        ref = conv2d(x, pf, stride=stride)
+        got = conv2d(x, pq, stride=stride)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref),
+            err_msg=f"stride={stride} hw={hw}",
+        )
+
+
+def test_a8_model_forward_close_and_pipeline_oracle_equal():
+    """Full tiny SVD forward under W8A8: (a) close to the float forward
+    (per-tensor conv scales + per-row linear scales bound the drift);
+    (b) the pipelined-equals-oracle invariant holds EXACTLY W8A8-vs-W8A8
+    (same traced program on both sides)."""
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4)
+    params = model.init(jax.random.key(0))
+    qparams = quantize_tree(params, min_size=256, act_int8=True)
+    # the 64-channel level must actually carry a8 marks
+    leaves = jax.tree_util.tree_leaves_with_path(qparams)
+    assert any("q8" in str(path[-1]) for path, _ in leaves)
+
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 3, 16, 16, cross_dim=cfg.cross_attention_dim
+    )
+    lat = jax.random.normal(jax.random.key(2), (1, 3, 16, 16, 4), jnp.float32)
+    a = np.asarray(model.step(params, lat, jnp.int32(0), cond), np.float64)
+    b = np.asarray(model.step(qparams, lat, jnp.int32(0), cond), np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.1, rel
+
+    step_fn = model.pipeline_step_fn()
+    bundle = (qparams, cond)
+    inputs = (
+        jax.random.normal(jax.random.key(4), (2, 1, 3, 16, 16, 4), jnp.float32)
+        * model.init_noise_sigma
+    )
+    ref = run_reference_single_device(step_fn, bundle, inputs, 4)
+    pipe = StepPipeline(make_pipeline_mesh(4), step_fn, PipelineConfig(4, 4))
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_fsdp_composes_with_int8():
     """FSDP parameter sharding over int8 weights: the q tensors shard
     like any other large leaf (specs are dtype-agnostic) — the two memory

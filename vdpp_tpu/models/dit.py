@@ -149,8 +149,10 @@ def _block(p: dict, x: jax.Array, c_emb: jax.Array, ctx: jax.Array | None,
     if "moe" in p:
         from vdpp_tpu.ops.moe import moe_ff, moe_ff_gather
 
+        from vdpp_tpu.ops.quant import _qtensor
+
         gw = p["moe"]["gate"]["w"]
-        num_experts = (gw["q"] if isinstance(gw, dict) else gw).shape[-1]
+        num_experts = (_qtensor(gw) if isinstance(gw, dict) else gw).shape[-1]
         if moe_dispatch == "gather":
             # Capacity-based token-gather (E-fold less compute; drops
             # over-capacity tokens — see ops/moe.py docstring).

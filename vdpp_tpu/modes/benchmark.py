@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights-int8", action="store_true",
                    help="weight-only int8 quantization (halves parameter "
                         "HBM; ops/quant.py)")
+    p.add_argument("--weights-w8a8", action="store_true",
+                   help="W8A8: weight-only int8 PLUS dynamic activation "
+                        "quantization at big linear/conv sites — the "
+                        "int8 x int8 double-rate MXU GEMM path. Changes "
+                        "numerics (opt-in); pipelined-equals-oracle still "
+                        "holds W8A8-vs-W8A8 (ops/quant.py)")
     p.add_argument("--fused", action="store_true",
                    help="single-jit whole-schedule program (derived per-sample times)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
@@ -183,18 +189,20 @@ def main(argv=None) -> int:
     setup_logging(args.log_level)
     enable_persistent_cache()
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
-    if getattr(args, "weights_int8", False) and args.model == "dummy":
+    w8a8 = getattr(args, "weights_w8a8", False)
+    if (getattr(args, "weights_int8", False) or w8a8) and args.model == "dummy":
         raise SystemExit(
-            "--weights-int8 needs the svd/dit model families (DummyUNet's "
-            "OIDHW conv layout has no int8 dispatch)"
+            "--weights-int8/--weights-w8a8 need the svd/dit model families "
+            "(DummyUNet's OIDHW conv layout has no int8 dispatch)"
         )
-    if getattr(args, "weights_int8", False):
+    if getattr(args, "weights_int8", False) or w8a8:
         from vdpp_tpu.ops.quant import param_bytes, quantize_tree
 
         before = param_bytes(bundle)
-        bundle = quantize_tree(bundle)
+        bundle = quantize_tree(bundle, act_int8=w8a8)
         LOGGER.info(
-            "int8 weights: %.1f -> %.1f MB of parameters",
+            "int8 weights%s: %.1f -> %.1f MB of parameters",
+            " + a8 activations" if w8a8 else "",
             before / 2**20, param_bytes(bundle) / 2**20,
         )
     total_n = args.num_samples + args.warmup_samples

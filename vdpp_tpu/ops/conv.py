@@ -29,8 +29,68 @@ def _kernel_in(params: dict, dtype) -> jax.Array:
     return weight_for(params, dtype)
 
 
+def _conv2d_int8(x: jax.Array, params: dict, stride: int, padding) -> jax.Array:
+    """W8A8 spatial conv: per-tensor activation quantization, explicit
+    im2col, then an int8 x int8 -> int32 GEMM.
+
+    XLA's conv EMITTER does not use the double-rate int8 MXU path (an
+    int8 ``lax.conv`` measured 1.02x bf16), but int8 ``dot_general`` at
+    the im2col shape measured 1.51-1.71x (docs/performance.md "int8 MXU
+    probe") — so the a8 conv is formulated as the GEMM directly. The
+    activation is quantized BEFORE patch extraction so the kh*kw-fold
+    patch duplication copies int8 bytes, which forces one per-tensor
+    scale (exactness vs the dequant conv is bounded by that scale's
+    granularity; oracle-equality pipelined-vs-single-device still holds
+    because both sides trace the same program).
+    """
+    from vdpp_tpu.ops.quant import quantize_activation
+
+    wq = params["w"]
+    kh, kw, cin, cout = wq["q8"].shape
+    n, h, w, _ = x.shape
+    q, ascale = quantize_activation(x, per_row=False)
+    if padding == "SAME":
+        ho, wo = -(-h // stride), -(-w // stride)
+        ph = max((ho - 1) * stride + kh - h, 0)
+        pw = max((wo - 1) * stride + kw - w, 0)
+        pads = (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)
+    elif padding == "VALID":
+        ho, wo = (h - kh) // stride + 1, (w - kw) // stride + 1
+        pads = (0, 0), (0, 0)
+    else:  # explicit ((lo, hi), (lo, hi)) as lax.conv takes it
+        (phl, phh), (pwl, pwh) = padding
+        ho = (h + phl + phh - kh) // stride + 1
+        wo = (w + pwl + pwh - kw) // stride + 1
+        pads = (phl, phh), (pwl, pwh)
+    qp = jnp.pad(q, ((0, 0), pads[0], pads[1], (0, 0)))
+    # (i, j)-major patch order matches the HWIO kernel's reshape order.
+    cols = [
+        qp[
+            :,
+            i : i + (ho - 1) * stride + 1 : stride,
+            j : j + (wo - 1) * stride + 1 : stride,
+            :,
+        ]
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (N, Ho, Wo, kh*kw*Cin) int8
+    y = jax.lax.dot_general(
+        patches,
+        wq["q8"].reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * ascale * wq["scale"]
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
 def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.Array:
-    """2-D conv, NHWC. fp32 accumulation on the MXU, output in x.dtype."""
+    """2-D conv, NHWC. fp32 accumulation on the MXU, output in x.dtype.
+    a8-marked int8 weights route to the im2col int8 GEMM form."""
+    w = params["w"]
+    if isinstance(w, dict) and "q8" in w:
+        return _conv2d_int8(x, params, stride, padding)
     y = jax.lax.conv_general_dilated(
         x,
         _kernel_in(params, x.dtype),
@@ -89,8 +149,10 @@ def init_conv_temporal(
 
 def conv_temporal(x: jax.Array, params: dict) -> jax.Array:
     """Temporal conv over the frame axis of (B, F, H, W, C), SAME padding."""
+    from vdpp_tpu.ops.quant import _qtensor
+
     w = params["w"]
-    k = (w["q"] if isinstance(w, dict) else w).shape[0]
+    k = (_qtensor(w) if isinstance(w, dict) else w).shape[0]
     pad = (k - 1) // 2
     y = jax.lax.conv_general_dilated(
         x,

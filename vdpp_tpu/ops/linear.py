@@ -21,10 +21,17 @@ def linear(x: jax.Array, params: dict) -> jax.Array:
     """``x @ w + b`` with fp32 MXU accumulation, result in x.dtype.
 
     Accepts int8 weight-only quantized params (ops/quant.py): the
-    per-channel dequant multiply fuses into the weight read."""
-    from vdpp_tpu.ops.quant import weight_for
+    per-channel dequant multiply fuses into the weight read. a8-marked
+    weights (``{"q8": ...}``, from ``quantize_tree(act_int8=True)``)
+    instead quantize the activation per row and run the int8 x int8 ->
+    int32 double-rate MXU GEMM."""
+    from vdpp_tpu.ops.quant import int8_dot, weight_for
 
-    y = jnp.dot(x, weight_for(params, x.dtype), preferred_element_type=jnp.float32)
+    w = params["w"]
+    if isinstance(w, dict) and "q8" in w:
+        y = int8_dot(x, w)
+    else:
+        y = jnp.dot(x, weight_for(params, x.dtype), preferred_element_type=jnp.float32)
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(x.dtype)
