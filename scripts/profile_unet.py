@@ -35,6 +35,11 @@ def main():
         default="full_pallas,full_xla,full_naive",
         help="comma list: full_pallas, full_xla, full_naive",
     )
+    ap.add_argument(
+        "--quant", default=None, choices=["int8", "w8a8"],
+        help="quantize params first: int8 (weight-only) or w8a8 (+ dynamic "
+             "activation quantization at big linear/conv sites)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -48,6 +53,16 @@ def main():
     t0 = time.time()
     params = jax.block_until_ready(jax.jit(unet.init)(jax.random.key(0)))
     log(f"init {time.time()-t0:.0f}s; device {jax.devices()[0]}")
+    if args.quant:
+        from vdpp_tpu.ops.quant import quantize_tree
+
+        t0 = time.time()
+        params = jax.block_until_ready(
+            jax.jit(
+                lambda p: quantize_tree(p, act_int8=args.quant == "w8a8")
+            )(params)
+        )
+        log(f"quantized ({args.quant}) in {time.time()-t0:.0f}s")
 
     b, f, h, w = 1, args.frames, args.h, args.w
     x = jax.random.normal(jax.random.key(1), (b, f, h, w, cfg.in_channels), jnp.float32)
