@@ -36,9 +36,10 @@ def main():
         help="comma list: full_pallas, full_xla, full_naive",
     )
     ap.add_argument(
-        "--quant", default=None, choices=["int8", "w8a8"],
-        help="quantize params first: int8 (weight-only) or w8a8 (+ dynamic "
-             "activation quantization at big linear/conv sites)",
+        "--quant", default=None, choices=["int8", "w8a8", "w8a8lin"],
+        help="quantize params first: int8 (weight-only), w8a8 (+ dynamic "
+             "activation quantization at big linear/conv sites), or "
+             "w8a8lin (a8 linears only; convs stay weight-only)",
     )
     args = ap.parse_args()
 
@@ -59,7 +60,11 @@ def main():
         t0 = time.time()
         params = jax.block_until_ready(
             jax.jit(
-                lambda p: quantize_tree(p, act_int8=args.quant == "w8a8")
+                lambda p: quantize_tree(
+                    p,
+                    act_int8=args.quant in ("w8a8", "w8a8lin"),
+                    a8_convs=args.quant != "w8a8lin",
+                )
             )(params)
         )
         log(f"quantized ({args.quant}) in {time.time()-t0:.0f}s")

@@ -124,6 +124,12 @@ def test_a8_marking_rules():
     q2 = quantize_tree(tree, min_size=0)
     assert all("q8" not in leaf["w"] for leaf in
                (q2["big_lin"], q2["big_conv"]))
+    # a8_convs=False: linears keep the a8 mark, convs fall back to
+    # weight-only (the measured-regression mode — docs/performance.md
+    # "W8A8 full forward")
+    q3 = quantize_tree(tree, min_size=0, act_int8=True, a8_convs=False)
+    assert "q8" in q3["big_lin"]["w"]
+    assert "q" in q3["big_conv"]["w"] and "q8" not in q3["big_conv"]["w"]
 
 
 def test_int8_dot_matches_manual():

@@ -130,7 +130,11 @@ def int8_dot(x: jax.Array, wq: dict) -> jax.Array:
 
 
 def quantize_tree(
-    params, min_ndim: int = 2, min_size: int = 4096, act_int8: bool = False
+    params,
+    min_ndim: int = 2,
+    min_size: int = 4096,
+    act_int8: bool = False,
+    a8_convs: bool = True,
 ):
     """Recursively replace every ``{"w": float_array}`` weight of at least
     ``min_ndim`` dims and ``min_size`` elements with its int8 form.
@@ -145,6 +149,12 @@ def quantize_tree(
     channels on either side) stay weight-only — the standard W8A8 hygiene
     — as do temporal convs and MoE stacks (their emitters don't benefit /
     aren't converted; see docs/performance.md "int8 MXU probe").
+
+    ``a8_convs=False`` restricts a8 marking to 2-D linear weights: the
+    full-forward measurement (docs/performance.md "W8A8 full forward")
+    showed the conv im2col materialization + dynamic-quant passes cost
+    more HBM traffic than the double-rate MXU saves, so convs regress
+    even though the isolated GEMM is 1.5-1.7x faster.
     """
 
     def a8_eligible(v: jax.Array) -> bool:
@@ -152,7 +162,7 @@ def quantize_tree(
             return False
         if v.ndim == 2:
             cin, cout = v.shape
-        elif v.ndim == 4:
+        elif v.ndim == 4 and a8_convs:
             cin, cout = v.shape[2], v.shape[3]
         else:
             return False
