@@ -42,6 +42,7 @@ from vdpp_tpu.ops.conv import (
     conv2d,
     conv2d_halo,
     conv_temporal,
+    conv_temporal_halo,
     init_conv2d,
     init_conv_temporal,
     upsample_nearest_2x,
@@ -162,23 +163,32 @@ def _init_temporal_resnet(kg: _Keys, cfg: SVDUNetConfig, ch: int) -> dict:
 
 def _temporal_resnet(
     p: dict, x: jax.Array, emb_bf: jax.Array, cfg: SVDUNetConfig,
-    seq_axis: str | None = None,
+    seq_axis: str | None = None, frame_axis: str | None = None,
 ) -> jax.Array:
     """x: (B, F, H, W, C), emb_bf: (B, F, time_embed_dim). The (k,1,1)
     temporal convs touch no spatial neighborhood, so under W-sharding only
-    the GroupNorm statistics need the cross-shard psum."""
+    the GroupNorm statistics need the cross-shard psum; under
+    frame-sharding (``frame_axis``) the temporal convs additionally
+    halo-exchange one edge frame per neighbor, and the GroupNorm
+    statistics — which span the frame axis — pmean over it."""
+    axes = tuple(a for a in (seq_axis, frame_axis) if a is not None)
+    psum = axes if axes else None
+    ct = (
+        (lambda h, pp: conv_temporal_halo(h, pp, frame_axis))
+        if frame_axis is not None else conv_temporal
+    )
     h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
-                   psum_axis=seq_axis)
+                   psum_axis=psum)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = conv_temporal(h, p["conv1"])
+    h = ct(h, p["conv1"])
     temb = linear(
         jax.nn.silu(emb_bf.astype(jnp.float32)).astype(emb_bf.dtype), p["time_emb_proj"]
     )
     h = h + temb[:, :, None, None, :]
     h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
-                   psum_axis=seq_axis)
+                   psum_axis=psum)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = conv_temporal(h, p["conv2"])
+    h = ct(h, p["conv2"])
     return x + h
 
 
@@ -198,9 +208,10 @@ def _init_st_resblock(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int) ->
 
 def _st_resblock(
     p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig, batch: int,
-    frames: int, seq_axis: str | None = None,
+    frames: int, seq_axis: str | None = None, frame_axis: str | None = None,
 ) -> jax.Array:
-    """x: (B*F, H, W, C) -> same; blends spatial and temporal residual paths."""
+    """x: (B*F, H, W, C) -> same; blends spatial and temporal residual
+    paths. ``frames`` is the LOCAL frame count under ``frame_axis``."""
     import os as _os
 
     bf, hh, ww, _ = x.shape
@@ -210,7 +221,8 @@ def _st_resblock(
     c = h_spatial.shape[-1]
     hs = h_spatial.reshape(batch, frames, hh, ww, c)
     emb_bf = emb.reshape(batch, frames, -1)
-    ht = _temporal_resnet(p["temporal"], hs, emb_bf, cfg, seq_axis=seq_axis)
+    ht = _temporal_resnet(p["temporal"], hs, emb_bf, cfg, seq_axis=seq_axis,
+                          frame_axis=frame_axis)
     alpha = jax.nn.sigmoid(p["mix_factor"].astype(jnp.float32)).astype(x.dtype)
     out = alpha * hs + (1.0 - alpha) * ht
     return out.reshape(bf, hh, ww, c)
@@ -268,6 +280,7 @@ def _temporal_tblock(
     heads: int,
     batch: int,
     frames: int,
+    frame_axis: str | None = None,
 ) -> jax.Array:
     """Temporal transformer block: attention tokens are frames.
 
@@ -275,13 +288,15 @@ def _temporal_tblock(
     positionwise (they commute with the frame/location transpose the
     torch original performs), self-attention contracts the frame axis in
     place, and the single-key cross-attention is a broadcast.
-    time_ctx_b: (B, 1, cross_dim).
+    time_ctx_b: (B, 1, cross_dim). ``frames`` is the LOCAL frame count
+    under ``frame_axis`` (the attention all_gathers K/V over the axis).
     """
     bf, l, c = h.shape
     residual = h
     h = geglu_ff(layer_norm(h, p["norm_in"]), p["ff_in"]) + residual
     h = h + temporal_self_attention(p["attn1"], layer_norm(h, p["norm1"]),
-                                    heads, batch, frames)
+                                    heads, batch, frames,
+                                    frame_axis=frame_axis)
     # Single-key cross-attention == broadcast of to_out(to_v(ctx)) plus
     # residual (softmax over one key is 1, and the output is independent
     # of the queries — norm2 is mathematically dead here; its parameters
@@ -315,17 +330,23 @@ def _st_transformer(
     batch: int,
     frames: int,
     seq_axis: str | None = None,
+    frame_axis: str | None = None,
+    frame_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """x: (B*F, H, W, C); ctx: (B*F, 1, cross_dim)."""
+    """x: (B*F, H, W, C); ctx: (B*F, 1, cross_dim). Under ``frame_axis``
+    sharding, ``frames`` is local and ``frame_offset`` is the shard's
+    global first-frame index (the position embedding must be global)."""
     bf, hh, ww, c = x.shape
     residual = x
+    # GroupNorm statistics here are per-(batch, frame) row — frame-local —
+    # so only the W-shard axis (if any) needs the cross-shard reduction.
     h = group_norm(x, p["norm"], cfg.norm_num_groups, cfg.transformer_eps,
                    psum_axis=seq_axis)
     h = h.reshape(bf, hh * ww, c)
     h = linear(h, p["proj_in"])
 
     # Frame-position embedding added before the temporal block.
-    frame_idx = jnp.tile(jnp.arange(frames, dtype=jnp.float32), batch)  # (B*F,)
+    frame_idx = jnp.tile(jnp.arange(frames, dtype=jnp.float32), batch) + frame_offset
     f_emb = sinusoidal_embedding(frame_idx, c).astype(x.dtype)
     f_emb = timestep_mlp(f_emb, p["time_pos_embed"])[:, None, :]  # (BF, 1, C)
 
@@ -342,7 +363,8 @@ def _st_transformer(
         h = _spatial_tblock(sp, h, ctx, heads, seq_axis=seq_axis)
         if not ablate_temporal:
             h_mix = h + f_emb
-            h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames)
+            h_mix = _temporal_tblock(tp, h_mix, time_ctx, heads, batch, frames,
+                                     frame_axis=frame_axis)
             # AlphaBlender(merge_strategy="learned_with_images", NO switch):
             # alpha = sigmoid(mix_factor) weights the SPATIAL path. Anchor:
             # "learned_with_images" forces alpha=1 for image-only samples,
@@ -451,6 +473,8 @@ class SVDUNet:
         added_time_ids: jax.Array,
         seq_axis: str | None = None,
         seq_shards: int = 1,
+        frame_axis: str | None = None,
+        frame_shards: int = 1,
     ) -> jax.Array:
         """Denoise one step.
 
@@ -470,9 +494,19 @@ class SVDUNet:
                 this extends single-sample latency scaling to the model
                 family the reference's design explicitly cannot split
                 intra-frame (reference: docs/context.md:20-26).
+            frame_axis/frame_shards: frame parallelism — the FRAME axis
+                sharded over mesh axis ``frame_axis`` (inside the same
+                ``shard_map``). Spatial convs/attention/norms are
+                frame-local (zero communication); temporal convs
+                halo-exchange one edge frame, temporal attention
+                all_gathers K/V over frames, temporal-norm statistics
+                pmean. Composes with ``seq_axis`` (and the stage/cfg
+                axes): the two intra-sample axes the reference's
+                step-only design cannot express.
 
         Returns:
-            (B, F, H, W, C_out) v-prediction (replicated under seq_axis).
+            (B, F, H, W, C_out) v-prediction (replicated under
+            seq_axis/frame_axis).
         """
         cfg = self.config
         b, f, hh, ww, _ = sample.shape
@@ -486,6 +520,10 @@ class SVDUNet:
                     f"latent width {ww} not divisible by seq_shards x "
                     f"2^(levels-1) = {min_div}"
                 )
+        if frame_axis is not None and f % frame_shards != 0:
+            raise ValueError(
+                f"frame count {f} not divisible by frame_shards {frame_shards}"
+            )
         c3 = (
             # halo form supplies its own W handling; `padding` (always the
             # 3x3-SAME shape at these sites) is subsumed by the halo
@@ -505,12 +543,22 @@ class SVDUNet:
         add_emb = add_emb.reshape(b, -1).astype(cfg.dtype)
         emb = emb + timestep_mlp(add_emb, params["add_embedding"])
 
+        xs = sample.astype(cfg.dtype)
+        frame_offset: jax.Array | int = 0
+        if frame_axis is not None:
+            # shard contiguous frame blocks; f becomes the LOCAL count for
+            # the whole body (temporal ops handle the cross-shard edges)
+            f = f // frame_shards
+            fidx = jax.lax.axis_index(frame_axis)
+            frame_offset = fidx * f
+            xs = jax.lax.dynamic_slice_in_dim(xs, frame_offset, f, axis=1)
+
         emb_f = jnp.repeat(emb, f, axis=0)  # (B*F, TE)
         ctx_f = jnp.repeat(
             encoder_hidden_states.astype(cfg.dtype), f, axis=0
         )  # (B*F, 1, D)
 
-        x = sample.astype(cfg.dtype).reshape(b * f, hh, ww, sample.shape[-1])
+        x = xs.reshape(b * f, hh, ww, sample.shape[-1])
         if seq_axis is not None:
             wl = ww // seq_shards
             idx = jax.lax.axis_index(seq_axis)
@@ -523,11 +571,13 @@ class SVDUNet:
         for i, block in enumerate(params["down_blocks"]):
             has_attn = i < n_levels - 1
             for j, res_p in enumerate(block["resnets"]):
-                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis)
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis,
+                                 frame_axis=frame_axis)
                 if has_attn:
                     x = _st_transformer(
                         block["attentions"][j], x, ctx_f, cfg, heads[i], b, f,
-                        seq_axis=seq_axis,
+                        seq_axis=seq_axis, frame_axis=frame_axis,
+                        frame_offset=frame_offset,
                     )
                 res_stack.append(x)
             if "downsample" in block:
@@ -536,10 +586,13 @@ class SVDUNet:
 
         # --- mid ---
         mid = params["mid_block"]
-        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f, seq_axis=seq_axis)
+        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f, seq_axis=seq_axis,
+                         frame_axis=frame_axis)
         x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg, heads[-1], b, f,
-                            seq_axis=seq_axis)
-        x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f, seq_axis=seq_axis)
+                            seq_axis=seq_axis, frame_axis=frame_axis,
+                            frame_offset=frame_offset)
+        x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f, seq_axis=seq_axis,
+                         frame_axis=frame_axis)
 
         # --- up path ---
         rev_heads = list(reversed(heads))
@@ -548,11 +601,13 @@ class SVDUNet:
             for j, res_p in enumerate(block["resnets"]):
                 skip = res_stack.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis)
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis,
+                                 frame_axis=frame_axis)
                 if has_attn:
                     x = _st_transformer(
                         block["attentions"][j], x, ctx_f, cfg, rev_heads[i], b, f,
-                        seq_axis=seq_axis,
+                        seq_axis=seq_axis, frame_axis=frame_axis,
+                        frame_offset=frame_offset,
                     )
             if "upsample" in block:
                 x = upsample_nearest_2x(x)
@@ -565,4 +620,7 @@ class SVDUNet:
         x = c3(x, params["conv_out"])
         if seq_axis is not None:
             x = jax.lax.all_gather(x, seq_axis, axis=2, tiled=True)
-        return x.reshape(b, f, hh, ww, cfg.out_channels)
+        x = x.reshape(b, f, hh, ww, cfg.out_channels)  # f = local frames
+        if frame_axis is not None:
+            x = jax.lax.all_gather(x, frame_axis, axis=1, tiled=True)
+        return x

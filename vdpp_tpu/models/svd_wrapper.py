@@ -185,6 +185,8 @@ class StableVideoUNet:
         cfg_axis: str | None = None,
         seq_axis: str | None = None,
         seq_shards: int = 1,
+        frame_axis: str | None = None,
+        frame_shards: int = 1,
     ) -> jax.Array:
         """UNet eval(s) incl. CFG; input is the pre-scaled latent.
 
@@ -197,6 +199,10 @@ class StableVideoUNet:
         ``seq_axis``/``seq_shards``: halo-exchange sequence parallelism —
         the UNet's W axis shards over the mesh axis (SVDUNet.apply);
         composes with ``cfg_axis`` and the stage pipeline.
+
+        ``frame_axis``/``frame_shards``: frame parallelism — the latent's
+        FRAME axis shards over the mesh axis (SVDUNet.apply); composes
+        with every other axis.
         """
         model_dtype = self.config.dtype
 
@@ -208,7 +214,9 @@ class StableVideoUNet:
                 axis=-1,
             )
             return self.unet.apply(params, x, timestep, ctx, added_time_ids,
-                                   seq_axis=seq_axis, seq_shards=seq_shards)
+                                   seq_axis=seq_axis, seq_shards=seq_shards,
+                                   frame_axis=frame_axis,
+                                   frame_shards=frame_shards)
 
         if cond.guidance is None:
             return unet_call(latent_scaled, cond.image_latents, cond.image_embeddings)
@@ -259,6 +267,8 @@ class StableVideoUNet:
         cfg_axis: str | None = None,
         seq_axis: str | None = None,
         seq_shards: int = 1,
+        frame_axis: str | None = None,
+        frame_shards: int = 1,
     ) -> jax.Array:
         """One full denoising step: scale, UNet(+CFG), fp32 Euler update
         (reference forward(), src/models/svd_unet.py:351-439)."""
@@ -271,7 +281,8 @@ class StableVideoUNet:
         lat32 = latent.astype(jnp.float32)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis,
-                              seq_axis=seq_axis, seq_shards=seq_shards)
+                              seq_axis=seq_axis, seq_shards=seq_shards,
+                              frame_axis=frame_axis, frame_shards=frame_shards)
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
     def bind(self, cond: SVDConditioning):
@@ -286,7 +297,9 @@ class StableVideoUNet:
         return step_fn
 
     def pipeline_step_fn(self, cfg_axis: str | None = None,
-                         seq_axis: str | None = None, seq_shards: int = 1):
+                         seq_axis: str | None = None, seq_shards: int = 1,
+                         frame_axis: str | None = None,
+                         frame_shards: int = 1):
         """``step_fn(bundle, latent, step)`` where ``bundle = (unet_params,
         SVDConditioning)`` — both travel through the pipeline engine as one
         replicated pytree argument.
@@ -297,11 +310,16 @@ class StableVideoUNet:
 
         ``seq_axis``/``seq_shards``: halo-exchange sequence parallelism
         for a mesh carrying a seq axis (e.g. (stage, seq) or
-        (stage, seq, cfg))."""
+        (stage, seq, cfg)).
+
+        ``frame_axis``/``frame_shards``: frame parallelism for a mesh
+        carrying a frame axis (e.g. (stage, frame) or
+        (stage, seq, frame))."""
 
         def step_fn(bundle, latent: jax.Array, step_idx: jax.Array) -> jax.Array:
             params, cond = bundle
             return self.step(params, latent, step_idx, cond, cfg_axis=cfg_axis,
-                             seq_axis=seq_axis, seq_shards=seq_shards)
+                             seq_axis=seq_axis, seq_shards=seq_shards,
+                             frame_axis=frame_axis, frame_shards=frame_shards)
 
         return step_fn

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(stage, seq[, cfg]) mesh; dit models shard the "
                         "token set (K/V all-gather), svd models shard the "
                         "latent W axis with halo-exchange 3x3 convs")
+    p.add_argument("--frame-parallel", type=int, default=1,
+                   help="frame-axis sharding width per stage (svd models): "
+                        "temporal convs halo-exchange one edge frame, "
+                        "temporal attention all-gathers over frames; "
+                        "spatial work is frame-local")
     p.add_argument("--expert-parallel", type=int, default=1,
                    help="expert-axis width per stage (MoE dit models): "
                         "expert weights sharded over an 'expert' mesh axis "
@@ -89,13 +94,20 @@ def _build_model(args, config_dtype):
     cfg_parallel = getattr(args, "cfg_parallel", False)
     cfg_axis = "cfg" if cfg_parallel else None
     sp = getattr(args, "seq_parallel", 1)
+    fp = getattr(args, "frame_parallel", 1)
     ep = getattr(args, "expert_parallel", 1)
     if ep > 1 and args.model != "dit3d_moe_tiny":
         raise SystemExit("--expert-parallel needs an MoE model (dit3d_moe_tiny)")
+    if fp > 1 and not args.model.startswith("svd"):
+        raise SystemExit("--frame-parallel needs an svd model (frame axis)")
+    if fp > 1 and f % fp != 0:
+        raise SystemExit(
+            f"--frame-parallel {fp}: frame count {f} must divide by it"
+        )
     if cfg_parallel and args.guidance_scale is None:
         raise SystemExit("--cfg-parallel needs --guidance-scale (CFG active)")
     if args.model == "dummy":
-        if cfg_parallel or sp > 1:
+        if cfg_parallel or sp > 1 or fp > 1:
             raise SystemExit(
                 "--cfg-parallel/--seq-parallel need a CFG/transformer model "
                 "(svd*/dit*)"
@@ -159,6 +171,7 @@ def _build_model(args, config_dtype):
         model.pipeline_step_fn(
             cfg_axis=cfg_axis,
             seq_axis="seq" if sp > 1 else None, seq_shards=sp,
+            frame_axis="frame" if fp > 1 else None, frame_shards=fp,
         ),
         (params, cond),
         (b, f, h, w, 4),
@@ -212,10 +225,12 @@ def main(argv=None) -> int:
     )
 
     if args.fsdp:
-        if args.seq_parallel > 1 or args.cfg_parallel or args.expert_parallel > 1:
+        if (args.seq_parallel > 1 or args.cfg_parallel
+                or args.expert_parallel > 1 or args.frame_parallel > 1):
             raise SystemExit(
                 "--fsdp runs every step on every device (no stage axis); "
-                "drop --seq-parallel/--cfg-parallel/--expert-parallel"
+                "drop --seq-parallel/--frame-parallel/--cfg-parallel/"
+                "--expert-parallel"
             )
         mesh = make_data_mesh(args.num_stages)
         world = mesh.shape["data"]
@@ -251,12 +266,14 @@ def main(argv=None) -> int:
     else:
         dp = args.data_parallel_size
         sp = args.seq_parallel
+        fp = args.frame_parallel
         cfg_par = args.cfg_parallel
         ep = args.expert_parallel
-        if dp > 1 and (sp > 1 or cfg_par or ep > 1):
+        if dp > 1 and (sp > 1 or fp > 1 or cfg_par or ep > 1):
             raise SystemExit(
                 "--data-parallel-size composes with the stage axis only; "
-                "drop --seq-parallel/--cfg-parallel/--expert-parallel"
+                "drop --seq-parallel/--frame-parallel/--cfg-parallel/"
+                "--expert-parallel"
             )
         if dp > 1:
             from vdpp_tpu.parallel.mesh import make_2d_mesh
@@ -272,15 +289,17 @@ def main(argv=None) -> int:
                     f"divisible by --data-parallel-size ({dp})"
                 )
             mesh = make_2d_mesh(args.num_stages, dp)
-        elif sp > 1 or cfg_par or ep > 1:
+        elif sp > 1 or fp > 1 or cfg_par or ep > 1:
             from vdpp_tpu.parallel.mesh import make_axes_mesh
 
-            per_stage = sp * (2 if cfg_par else 1) * ep
+            per_stage = sp * fp * (2 if cfg_par else 1) * ep
             if args.num_stages is None:
                 args.num_stages = len(jax.devices()) // per_stage
             axes = {"stage": args.num_stages}
             if sp > 1:
                 axes["seq"] = sp
+            if fp > 1:
+                axes["frame"] = fp
             if cfg_par:
                 axes["cfg"] = 2
             if ep > 1:
@@ -305,6 +324,8 @@ def main(argv=None) -> int:
         mode = "pipeline" if dp == 1 else "pipeline_x_dp"
         if sp > 1:
             mode += f"_x_sp{sp}"
+        if fp > 1:
+            mode += f"_x_fp{fp}"
         if cfg_par:
             mode += "_x_cfg"
         if ep > 1:

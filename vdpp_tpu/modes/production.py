@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="halo-exchange W sharding width per stage: a "
                         "(stage, seq[, cfg]) mesh (latent W must divide "
                         "by sp x 2^(levels-1))")
+    p.add_argument("--frame-parallel", type=int, default=1,
+                   help="frame sharding width per stage: a "
+                        "(stage[, seq], frame[, cfg]) mesh (latent F must "
+                        "divide by the shard count)")
     p.add_argument("--cfg-parallel", action="store_true",
                    help="run the uncond/cond CFG branches concurrently on a "
                         "size-2 'cfg' mesh axis inside every stage (needs "
@@ -78,22 +82,29 @@ def main(argv=None) -> int:
     b, c, f, h, w = args.latent_shape
     config = SVDUNetConfig.tiny() if args.preset == "tiny" else SVDUNetConfig.svd_xt()
     sp = args.seq_parallel
+    fp = args.frame_parallel
     if sp > 1 and w % (sp * 2 ** (config.num_levels - 1)) != 0:
         raise SystemExit(
             f"--seq-parallel {sp}: latent width {w} must divide by "
             f"sp x 2^(levels-1) = {sp * 2 ** (config.num_levels - 1)}"
         )
+    if fp > 1 and f % fp != 0:
+        raise SystemExit(
+            f"--frame-parallel {fp}: frame count {f} must divide by it"
+        )
     if args.cfg_parallel and args.guidance_scale is None:
         raise SystemExit("--cfg-parallel needs --guidance-scale")
-    if args.cfg_parallel or sp > 1:
+    if args.cfg_parallel or sp > 1 or fp > 1:
         from vdpp_tpu.parallel.mesh import make_axes_mesh
 
-        per_stage = sp * (2 if args.cfg_parallel else 1)
+        per_stage = sp * fp * (2 if args.cfg_parallel else 1)
         if args.num_stages is None:
             args.num_stages = len(jax.devices()) // per_stage
         axes = {"stage": args.num_stages}
         if sp > 1:
             axes["seq"] = sp
+        if fp > 1:
+            axes["frame"] = fp
         if args.cfg_parallel:
             axes["cfg"] = 2
         mesh = make_axes_mesh(**axes)
@@ -139,6 +150,7 @@ def main(argv=None) -> int:
     step_fn = model.pipeline_step_fn(
         cfg_axis="cfg" if args.cfg_parallel else None,
         seq_axis="seq" if sp > 1 else None, seq_shards=sp,
+        frame_axis="frame" if fp > 1 else None, frame_shards=fp,
     )
 
     # Per-sample seeded noise x init_noise_sigma

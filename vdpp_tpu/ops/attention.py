@@ -114,13 +114,20 @@ def temporal_self_attention(
     heads: int,
     batch: int,
     frames: int,
+    frame_axis: str | None = None,
 ) -> jax.Array:
     """Self-attention over the FRAME axis of (B*F, L, C) WITHOUT
     materializing the (B*L, F, C) transpose: qkv are projected in the
     resident layout and the frame contraction happens inside batched
     dot_generals (XLA fuses the layout change into the matmul). The
     physical transpose of video-scale activations is a measured
-    HBM-bandwidth sink (docs/performance.md)."""
+    HBM-bandwidth sink (docs/performance.md).
+
+    ``frame_axis``: shard_map mesh axis over which the frame axis is
+    sharded (frame parallelism): queries stay local, K/V are
+    ``all_gather``-ed over the axis so every device attends its local
+    frames against the full frame set — exact attention, gather riding
+    ICI. ``frames`` is then the LOCAL frame count."""
     bf, l, c = x.shape
     d = c // heads
     fused = _qkv_fused(x, params) if _fuse_qkv() else None
@@ -132,8 +139,16 @@ def temporal_self_attention(
         v = linear(x, params["to_v"]).reshape(batch, frames, l, heads, d)
     if os.environ.get("VDPP_ABLATE_TEMPORAL_ATTN") == "1":  # profiling only
         return linear(v.reshape(bf, l, c), params["to_out"])
+    if frame_axis is not None:
+        k = jax.lax.all_gather(k, frame_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, frame_axis, axis=1, tiled=True)
+    kv_frames = k.shape[1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     impl = os.environ.get("VDPP_TEMPORAL_ATTN", "vpu")
+    if impl == "pallas" and frame_axis is not None:
+        # the fused kernel assumes square (F, F) attention; under frame
+        # sharding fall back to the default fused-XLA form
+        impl = "vpu"
     if impl == "pallas":
         # Fused VMEM kernel (ops/temporal_attention_kernel.py). Measured
         # SLOWER than the fused-XLA "vpu" form on v5e (594.8 vs 550.3
@@ -151,8 +166,8 @@ def temporal_self_attention(
         # sequence axis, so softmax/score work is a tiny (F, F) problem
         # with a huge batch — XLA lowers it to fused batched matmuls.
         qt = q.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, frames, d)
-        kt = k.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, frames, d)
-        vt = v.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, frames, d)
+        kt = k.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, kv_frames, d)
+        vt = v.transpose(0, 2, 3, 1, 4).reshape(batch * l, heads, kv_frames, d)
         logits = jnp.einsum(
             "bhfd,bhgd->bhfg", qt, kt, preferred_element_type=jnp.float32
         ) * scale

@@ -147,6 +147,47 @@ def init_conv_temporal(
     return {"w": w.astype(dtype), "b": jnp.zeros((out_ch,), dtype)}
 
 
+def conv_temporal_halo(x: jax.Array, params: dict, frame_axis: str) -> jax.Array:
+    """Temporal conv on an input whose FRAME axis is sharded over
+    ``frame_axis`` (frame parallelism, the temporal analogue of
+    ``conv2d_halo``).
+
+    Must run inside ``shard_map``; ``x`` is the local (B, F_local, H, W, C)
+    shard of contiguous global frames. Each device exchanges ``(k-1)//2``
+    edge frames with each neighbor via two ``ppermute``s; zero-fill at the
+    chain ends IS the global SAME padding, so the conv then runs with no
+    frame padding. Elementwise-equal to the unsharded ``conv_temporal``
+    (enforced in tests/test_frame_parallel.py)."""
+    from vdpp_tpu.ops.quant import _qtensor
+
+    w = params["w"]
+    k = (_qtensor(w) if isinstance(w, dict) else w).shape[0]
+    halo = (k - 1) // 2
+    if halo == 0:
+        return conv_temporal(x, params)
+    if x.shape[1] < halo:
+        # one-hop ppermute reaches only the adjacent shard
+        raise ValueError(
+            f"local frame shard {x.shape[1]} smaller than the kernel halo "
+            f"{halo}"
+        )
+    n = jax.lax.psum(1, frame_axis)
+    send_right = [(i, i + 1) for i in range(n - 1)]
+    send_left = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(x[:, -halo:], frame_axis, send_right)
+    from_right = jax.lax.ppermute(x[:, :halo], frame_axis, send_left)
+    xh = jnp.concatenate([from_left, x, from_right], axis=1)
+    y = jax.lax.conv_general_dilated(
+        xh,
+        _kernel_in(params, x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
 def conv_temporal(x: jax.Array, params: dict) -> jax.Array:
     """Temporal conv over the frame axis of (B, F, H, W, C), SAME padding."""
     from vdpp_tpu.ops.quant import _qtensor

@@ -24,7 +24,7 @@ def group_norm(
     params: dict,
     num_groups: int = 32,
     eps: float = 1e-6,
-    psum_axis: str | None = None,
+    psum_axis: str | tuple[str, ...] | None = None,
 ) -> jax.Array:
     """GroupNorm over the trailing channel axis of a channels-last tensor.
 
@@ -32,9 +32,10 @@ def group_norm(
     non-batch axes within each group — i.e. over (spatial..., C//G), where
     the leading axis is the batch.
 
-    ``psum_axis``: a shard_map mesh axis over which a spatial axis of x is
-    sharded (sequence parallelism); the group statistics are then reduced
-    across the axis with ``pmean`` (equal shard sizes), keeping them
+    ``psum_axis``: a shard_map mesh axis (or tuple of axes — e.g. W-halo
+    sequence parallelism composed with frame parallelism) over which
+    non-batch axes of x are sharded; the group statistics are then reduced
+    across the axis/axes with ``pmean`` (equal shard sizes), keeping them
     identical to the unsharded computation.
     """
     orig_dtype = x.dtype

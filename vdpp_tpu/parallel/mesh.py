@@ -13,6 +13,9 @@ Axis conventions:
     "seq"    — token axis (sequence/context parallelism for single-sample
                latency; beyond the reference, which splits only the step
                axis — see parallel/sequence_parallel.py)
+    "frame"  — video frame axis (frame parallelism for the SVD UNet:
+               spatial work is frame-local; temporal convs halo-exchange,
+               temporal attention all_gathers — models/svd_unet.py)
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 CFG_AXIS = "cfg"
 EXPERT_AXIS = "expert"
+FRAME_AXIS = "frame"
 
 
 def available_devices(backend: str | None = None) -> list[jax.Device]:
