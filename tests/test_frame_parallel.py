@@ -59,6 +59,26 @@ def test_conv_temporal_halo_matches_unsharded(shards):
     )
 
 
+def test_conv_temporal_halo_rejects_even_kernel():
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.ops.conv import conv_temporal_halo, init_conv_temporal
+
+    # even k: conv_temporal's symmetric SAME pad shrinks the output
+    # globally — the per-shard halo form cannot reproduce it
+    x = jax.random.normal(jax.random.key(0), (1, 8, 2, 2, 8), jnp.float32)
+    p = init_conv_temporal(jax.random.key(1), 8, 8, 4)
+    mesh = make_axes_mesh(frame=2)
+    with pytest.raises(ValueError, match="odd kernel"):
+        jax.shard_map(
+            lambda pp, xx: conv_temporal_halo(xx, pp, "frame"),
+            mesh=mesh,
+            in_specs=(P(), P(None, "frame")),
+            out_specs=P(None, "frame"),
+            check_vma=False,
+        )(p, x)
+
+
 def test_conv_temporal_halo_rejects_tiny_shard():
     from jax.sharding import PartitionSpec as P
 

@@ -107,7 +107,8 @@ def _build_model(args, config_dtype):
     if cfg_parallel and args.guidance_scale is None:
         raise SystemExit("--cfg-parallel needs --guidance-scale (CFG active)")
     if args.model == "dummy":
-        if cfg_parallel or sp > 1 or fp > 1:
+        # (--frame-parallel already rejected above: dummy is not svd*)
+        if cfg_parallel or sp > 1:
             raise SystemExit(
                 "--cfg-parallel/--seq-parallel need a CFG/transformer model "
                 "(svd*/dit*)"

@@ -119,12 +119,7 @@ def conv2d_halo(
     stride grid. Elementwise-equal to the unsharded ``conv2d`` (enforced
     in tests/test_sequence_parallel.py).
     """
-    n = jax.lax.psum(1, seq_axis)
-    send_right = [(i, i + 1) for i in range(n - 1)]
-    send_left = [(i + 1, i) for i in range(n - 1)]
-    from_left = jax.lax.ppermute(x[:, :, -1:, :], seq_axis, send_right)
-    from_right = jax.lax.ppermute(x[:, :, :1, :], seq_axis, send_left)
-    xh = jnp.concatenate([from_left, x, from_right], axis=2)
+    xh = _halo_exchange(x, seq_axis, axis=2, halo=1)
     y = jax.lax.conv_general_dilated(
         xh,
         _kernel_in(params, x.dtype),
@@ -134,6 +129,22 @@ def conv2d_halo(
         preferred_element_type=jnp.float32,
     )
     return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _halo_exchange(x: jax.Array, axis_name: str, axis: int, halo: int) -> jax.Array:
+    """Concatenate each neighbor's ``halo`` edge slices along ``axis``
+    (two one-hop ``ppermute``s). ``ppermute`` zero-fills targets no source
+    covers, which IS the global SAME zero padding at the chain ends."""
+    n = jax.lax.psum(1, axis_name)
+    send_right = [(i, i + 1) for i in range(n - 1)]
+    send_left = [(i + 1, i) for i in range(n - 1)]
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(None, halo)
+    hi[axis] = slice(-halo, None)
+    from_left = jax.lax.ppermute(x[tuple(hi)], axis_name, send_right)
+    from_right = jax.lax.ppermute(x[tuple(lo)], axis_name, send_left)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
 
 
 def init_conv_temporal(
@@ -162,6 +173,10 @@ def conv_temporal_halo(x: jax.Array, params: dict, frame_axis: str) -> jax.Array
 
     w = params["w"]
     k = (_qtensor(w) if isinstance(w, dict) else w).shape[0]
+    if k % 2 == 0:
+        # conv_temporal's symmetric (k-1)//2 SAME padding shrinks even-k
+        # outputs globally; the per-shard halo form cannot reproduce that
+        raise ValueError(f"conv_temporal_halo requires odd kernel, got {k}")
     halo = (k - 1) // 2
     if halo == 0:
         return conv_temporal(x, params)
@@ -171,12 +186,7 @@ def conv_temporal_halo(x: jax.Array, params: dict, frame_axis: str) -> jax.Array
             f"local frame shard {x.shape[1]} smaller than the kernel halo "
             f"{halo}"
         )
-    n = jax.lax.psum(1, frame_axis)
-    send_right = [(i, i + 1) for i in range(n - 1)]
-    send_left = [(i + 1, i) for i in range(n - 1)]
-    from_left = jax.lax.ppermute(x[:, -halo:], frame_axis, send_right)
-    from_right = jax.lax.ppermute(x[:, :halo], frame_axis, send_left)
-    xh = jnp.concatenate([from_left, x, from_right], axis=1)
+    xh = _halo_exchange(x, frame_axis, axis=1, halo=halo)
     y = jax.lax.conv_general_dilated(
         xh,
         _kernel_in(params, x.dtype),
