@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="token/W sharding width per stage — a "
                         "(stage, seq) mesh (DiT: token shards; SVD: "
                         "halo-exchange W shards)")
+    p.add_argument("--frame-parallel", type=int, default=1,
+                   help="frame sharding width per stage (SVD models): "
+                        "a (stage[, seq], frame) mesh; --num-frames "
+                        "must divide by it")
     p.add_argument("--decode-devices", type=int, default=0,
                    help="reserve this many devices (after the stage "
                         "devices) for VAE decode, so pipeline ticks "
@@ -128,13 +132,27 @@ class _Engine:
         from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
 
         sp = getattr(args, "seq_parallel", 1)
+        fp = getattr(args, "frame_parallel", 1)
+        if fp > 1 and self.is_dit:
+            raise SystemExit(
+                "--frame-parallel serves the SVD family only (the DiT "
+                "token axis already covers frames via --seq-parallel)"
+            )
+        if fp > 1 and args.num_frames % fp != 0:
+            raise SystemExit(
+                f"--frame-parallel {fp}: --num-frames {args.num_frames} "
+                "must divide by it"
+            )
         self.mesh, self.decode_mesh = make_pipeline_and_decode_meshes(
             args.num_stages, args.decode_devices, args.backend, seq=sp,
+            frame=fp,
         )
         self.stages = self.mesh.shape["stage"]
-        step_kwargs = (
-            {"seq_axis": "seq", "seq_shards": sp} if sp > 1 else {}
-        )
+        step_kwargs = {}
+        if sp > 1:
+            step_kwargs.update(seq_axis="seq", seq_shards=sp)
+        if fp > 1:
+            step_kwargs.update(frame_axis="frame", frame_shards=fp)
         self.pipe = StepPipeline(
             self.mesh,
             self.model.pipeline_step_fn(**step_kwargs),

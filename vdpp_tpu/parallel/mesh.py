@@ -186,41 +186,55 @@ def make_pipeline_and_decode_meshes(
     decode_devices: int,
     backend: str | None = None,
     seq: int = 1,
+    frame: int = 1,
 ) -> tuple[Mesh, Mesh | None]:
     """Stage mesh plus an optional RESERVED decode mesh from one device
     list (task decoupling: decode work never lands on a stage device).
 
     ``num_stages=None`` auto-sizes to all devices left after the
-    reservation. ``seq>1`` makes each stage a seq-sharded group — a
-    (stage, seq) mesh. Both meshes draw from the same backend-resolved
-    device list — resolving twice with different backends could silently
-    hand the "reserved" decode devices back to the stages.
+    reservation. ``seq>1`` / ``frame>1`` make each stage a
+    seq-/frame-sharded group — a (stage[, seq][, frame]) mesh. Both
+    meshes draw from the same backend-resolved device list — resolving
+    twice with different backends could silently hand the "reserved"
+    decode devices back to the stages.
     """
+    per_stage = seq * frame
+    inner_axes: dict[str, int] = {}
+    if seq > 1:
+        inner_axes[SEQ_AXIS] = seq
+    if frame > 1:
+        inner_axes[FRAME_AXIS] = frame
     if not decode_devices:
-        if seq > 1:
+        if inner_axes:
             n = num_stages
             if n is None:
-                n = len(available_devices(backend)) // seq
-            return make_axes_mesh(backend, **{STAGE_AXIS: n, SEQ_AXIS: seq}), None
+                n = len(available_devices(backend)) // per_stage
+            return (
+                make_axes_mesh(backend, **{STAGE_AXIS: n}, **inner_axes),
+                None,
+            )
         return make_pipeline_mesh(num_stages, backend), None
     devices = available_devices(backend)
     stages = (
         num_stages if num_stages is not None
-        else (len(devices) - decode_devices) // seq
+        else (len(devices) - decode_devices) // per_stage
     )
-    need = stages * seq + decode_devices
+    need = stages * per_stage + decode_devices
     if stages < 1 or need > len(devices):
         raise ValueError(
-            f"{stages} stages x {seq} seq + {decode_devices} decode devices "
-            f"need {need} devices, have {len(devices)}"
+            f"{stages} stages x {per_stage} per-stage (seq {seq} x frame "
+            f"{frame}) + {decode_devices} decode devices need {need} "
+            f"devices, have {len(devices)}"
         )
-    if seq > 1:
+    if inner_axes:
         stage_mesh = Mesh(
-            np.array(devices[: stages * seq]).reshape(stages, seq),
-            (STAGE_AXIS, SEQ_AXIS),
+            np.array(devices[: stages * per_stage]).reshape(
+                stages, *inner_axes.values()
+            ),
+            (STAGE_AXIS, *inner_axes.keys()),
         )
     else:
         stage_mesh = Mesh(np.array(devices[:stages]), (STAGE_AXIS,))
     decode_mesh = Mesh(
-        np.array(devices[stages * seq: need]), (DATA_AXIS,))
+        np.array(devices[stages * per_stage: need]), (DATA_AXIS,))
     return stage_mesh, decode_mesh
