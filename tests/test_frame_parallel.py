@@ -193,6 +193,28 @@ def test_svd_halo_seq_x_frame_parallel():
     )
 
 
+def test_svd_frame_x_cfg_parallel():
+    """(frame, cfg) mesh: frame sharding inside each CFG branch — the
+    wrapper-level cfg ppermute exchanges the full-F output (already
+    gathered/replicated over the frame axis by apply)."""
+    from jax.sharding import PartitionSpec as P
+
+    model, params, cond, latent = _svd_setup()
+    bundle = (params, cond)
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, latent[None], STEPS
+    )[0]
+
+    mesh = make_axes_mesh(frame=2, cfg=2)
+    step = model.pipeline_step_fn(
+        cfg_axis="cfg", frame_axis="frame", frame_shards=2
+    )
+    fn = _scan_fn(step, mesh, (P(), P()))
+    np.testing.assert_allclose(
+        np.asarray(fn(bundle, latent)), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_svd_frame_rejects_indivisible_frames():
     """F=3 cannot shard 2-way; the guard must fire at trace time."""
     from jax.sharding import PartitionSpec as P
