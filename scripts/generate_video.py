@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--decode-chunk-frames", type=int, default=4)
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="halo-exchange W sharding width per stage — a "
+                        "(stage, seq) mesh (latent W must divide by "
+                        "sp x 2^(levels-1))")
+    p.add_argument("--frame-parallel", type=int, default=1,
+                   help="frame sharding width per stage — a "
+                        "(stage[, seq], frame) mesh (--num-frames must "
+                        "divide by it)")
     p.add_argument("--decode-devices", type=int, default=0,
                    help="reserve this many devices (after the stage "
                         "devices) for VAE decode and OVERLAP each "
@@ -162,8 +170,20 @@ def main(argv=None) -> int:
     lat_h, lat_w = args.height // spatial_down, args.width // spatial_down
     from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
 
+    sp, fp = args.seq_parallel, args.frame_parallel
+    if sp > 1 and lat_w % (sp * 2 ** (unet_cfg.num_levels - 1)) != 0:
+        LOGGER.error(
+            "--seq-parallel %d: latent width %d must divide by sp x "
+            "2^(levels-1) = %d", sp, lat_w,
+            sp * 2 ** (unet_cfg.num_levels - 1),
+        )
+        return 1
+    if fp > 1 and args.num_frames % fp != 0:
+        LOGGER.error("--frame-parallel %d: --num-frames %d must divide by it",
+                     fp, args.num_frames)
+        return 1
     mesh, overlap_decode_mesh = make_pipeline_and_decode_meshes(
-        args.num_stages, args.decode_devices, args.backend
+        args.num_stages, args.decode_devices, args.backend, seq=sp, frame=fp
     )
     stages = mesh.shape["stage"]
     LOGGER.info(
@@ -236,8 +256,14 @@ def main(argv=None) -> int:
 
     # ---- pipelined denoise ----
     t0 = time.perf_counter()
+    step_kwargs = {}
+    if sp > 1:
+        step_kwargs.update(seq_axis="seq", seq_shards=sp)
+    if fp > 1:
+        step_kwargs.update(frame_axis="frame", frame_shards=fp)
     pipe = StepPipeline(
-        mesh, model.pipeline_step_fn(), PipelineConfig(args.steps, stages)
+        mesh, model.pipeline_step_fn(**step_kwargs),
+        PipelineConfig(args.steps, stages)
     )
     keys = jax.random.split(jax.random.key(args.seed), args.num_samples)
     noise = (
