@@ -86,6 +86,68 @@ def test_tick_handoff_is_single_nearest_neighbor_ring(compiled_text):
         assert pairs and pairs.group(1).count("{") <= 1, ln[:200]
 
 
+@pytest.fixture(scope="module")
+def frame_parallel_text():
+    """Compiled one-step frame-parallel SVD program on a frame=4 mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.models.svd_unet import SVDUNetConfig
+    from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 CPU devices")
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4, cfg_mode="sequential")
+    params = jax.eval_shape(model.init, jax.random.key(0))
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 4, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    step = model.pipeline_step_fn(frame_axis="frame", frame_shards=4)
+    mesh = make_axes_mesh(frame=4)
+    fn = jax.jit(jax.shard_map(
+        lambda b, x: step(b, x, jnp.int32(0)),
+        mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False,
+    ))
+    x = jax.ShapeDtypeStruct((1, 4, 16, 16, 4), jnp.float32)
+    return fn.lower((params, cond), x).compile().as_text()
+
+
+def test_frame_halos_are_one_hop_chain_permutes(frame_parallel_text):
+    """Every frame-halo exchange must lower to a collective-permute whose
+    pairs are one-hop CHAIN neighbors (|src-dst| == 1, no wraparound): the
+    frame axis has edges, not a ring — the zero-fill at the chain ends IS
+    the temporal SAME padding. A wraparound pair would mean frames leak
+    across the video boundary."""
+    op_lines = [
+        ln for ln in frame_parallel_text.splitlines()
+        if re.search(r"=.* collective-permute\(", ln)
+    ]
+    assert op_lines, "expected halo collective-permutes in the program"
+    for ln in op_lines:
+        pairs = re.search(r"source_target_pairs=\{(.*?)\}\}", ln)
+        assert pairs, ln[:200]
+        for pair in re.findall(r"\{(\d+),(\d+)\}", pairs.group(0)):
+            src, dst = int(pair[0]), int(pair[1])
+            assert abs(src - dst) == 1, f"non-one-hop pair {pair}: {ln[:200]}"
+
+
+def test_frame_parallel_gathers_are_bounded(frame_parallel_text):
+    """All-gathers appear ONLY for temporal-attention K/V and the final
+    output gather — the spatial ~75% of the per-step FLOPs must add none.
+    The tiny config has 4 temporal-attention sites x (K, V) + 1 output
+    gather per UNet call x 2 CFG branches = at most 18; XLA's
+    all-gather combiner may merge some, hence the range. No all-to-all
+    anywhere."""
+    n = len([
+        ln for ln in frame_parallel_text.splitlines()
+        if re.search(r"=.* all-gather\(", ln)
+    ])
+    assert 1 <= n <= 18, f"unexpected all-gather count {n}"
+    assert "all-to-all(" not in frame_parallel_text
+
+
 def test_no_per_tick_collectives_beyond_the_ring(compiled_text):
     """Inside the scanned tick body the ring ppermute must be the ONLY
     collective — params are never re-communicated per tick. Outside the
