@@ -103,6 +103,14 @@ def measure_config(
     t0 = time.perf_counter()
     params = jax.block_until_ready(jax.jit(model.init)(jax.random.key(0)))
     log(f"[{label}] init: {time.perf_counter() - t0:.1f}s")
+    if os.environ.get("VDPP_BENCH_QUANT") == "int8":
+        # Opt-in weight-only int8 (quantization changes numerics — the
+        # DRIVER metric stays bf16; this knob measures the int8 serving
+        # configuration, docs/performance.md "int8 flagship").
+        from vdpp_tpu.ops.quant import quantize_tree
+
+        params = jax.block_until_ready(jax.jit(quantize_tree)(params))
+        log(f"[{label}] weight-only int8 quantized")
 
     cond = make_dummy_conditioning(
         jax.random.key(1), 1, frames, lat_h, lat_w,
