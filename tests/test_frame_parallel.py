@@ -215,6 +215,28 @@ def test_svd_frame_x_cfg_parallel():
     )
 
 
+def test_svd_frame_parallel_composes_with_int8():
+    """Weight-only int8 params under frame sharding: conv_temporal_halo
+    and the rest of the dispatch path must accept the quantized dicts;
+    sharded-int8 output == unsharded-int8 oracle elementwise."""
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.ops.quant import quantize_tree
+
+    model, params, cond, latent = _svd_setup()
+    qbundle = (quantize_tree(params, min_size=0), cond)
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), qbundle, latent[None], STEPS
+    )[0]
+
+    mesh = make_axes_mesh(frame=2)
+    fp_step = model.pipeline_step_fn(frame_axis="frame", frame_shards=2)
+    fn = _scan_fn(fp_step, mesh, (P(), P()))
+    np.testing.assert_allclose(
+        np.asarray(fn(qbundle, latent)), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_svd_frame_rejects_indivisible_frames():
     """F=3 cannot shard 2-way; the guard must fire at trace time."""
     from jax.sharding import PartitionSpec as P
