@@ -222,3 +222,52 @@ def test_metrics_endpoint(server):
     assert set(lat) == {"mean", "p50", "p95", "max"}
     assert lat["p95"] >= lat["p50"] >= 0.0
     assert 0 <= data["window"] <= 512  # bounded rolling window
+
+
+@pytest.fixture(scope="module")
+def server_frame_parallel():
+    """SVD server on a (stage=2, frame=2) mesh — the frame-parallel
+    serving topology (oracle-equality of the underlying program is pinned
+    in tests/test_frame_parallel.py; this covers the serving wiring)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "vdpp_tpu.modes.serve", "--preset", "tiny",
+            "--backend", "cpu", "--num-stages", "2", "--frame-parallel", "2",
+            "--steps", "4", "--num-frames", "2", "--latent-hw", "8", "8",
+            "--port", str(port),
+        ],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 420
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read()
+            raise RuntimeError(f"server died:\n{out[-3000:]}")
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            time.sleep(2)
+    else:
+        proc.kill()
+        pytest.skip("server warm-up exceeded deadline on this host")
+    yield base
+    proc.kill()
+    proc.wait(timeout=30)
+
+
+def test_generate_on_frame_parallel_mesh(server_frame_parallel):
+    req = urllib.request.Request(
+        server_frame_parallel + "/generate",
+        data=json.dumps({"seed": 3, "format": "gif"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with _open(req) as r:
+        body = r.read()
+    assert r.status == 200 and body.startswith(b"GIF8")
