@@ -237,6 +237,60 @@ def test_svd_frame_parallel_composes_with_int8():
     )
 
 
+def test_svd_frame_parallel_with_batched_cfg():
+    """cfg_mode='batched' stacks cond/uncond on the BATCH axis before the
+    UNet; the frame slicing inside apply is batch-oblivious, so the
+    combination must stay oracle-equal."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=STEPS, cfg_mode="batched")
+    params = model.init(jax.random.key(0))
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, FRAMES, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    latent = (
+        jax.random.normal(jax.random.key(2), (1, FRAMES, 16, 16, 4), jnp.float32)
+        * model.init_noise_sigma
+    )
+    bundle = (params, cond)
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, latent[None], STEPS
+    )[0]
+
+    mesh = make_axes_mesh(frame=2)
+    fp_step = model.pipeline_step_fn(frame_axis="frame", frame_shards=2)
+    fn = _scan_fn(fp_step, mesh, (P(), P()))
+    np.testing.assert_allclose(
+        np.asarray(fn(bundle, latent)), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_svd_seq_x_frame_x_cfg_parallel():
+    """3-axis INTRA-SAMPLE program on all 8 devices: W-halo sharding x
+    frame sharding x CFG branch split — one sample's single step spread
+    over 8 devices, a topology three generations beyond the reference's
+    step-only axis."""
+    from jax.sharding import PartitionSpec as P
+
+    model, params, cond, latent = _svd_setup()
+    bundle = (params, cond)
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, latent[None], STEPS
+    )[0]
+
+    mesh = make_axes_mesh(seq=2, frame=2, cfg=2)
+    step = model.pipeline_step_fn(
+        cfg_axis="cfg", seq_axis="seq", seq_shards=2,
+        frame_axis="frame", frame_shards=2,
+    )
+    fn = _scan_fn(step, mesh, (P(), P()))
+    np.testing.assert_allclose(
+        np.asarray(fn(bundle, latent)), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_svd_frame_rejects_indivisible_frames():
     """F=3 cannot shard 2-way; the guard must fire at trace time."""
     from jax.sharding import PartitionSpec as P
