@@ -103,7 +103,11 @@ def measure_config(
     t0 = time.perf_counter()
     params = jax.block_until_ready(jax.jit(model.init)(jax.random.key(0)))
     log(f"[{label}] init: {time.perf_counter() - t0:.1f}s")
-    if os.environ.get("VDPP_BENCH_QUANT") == "int8":
+    quant = os.environ.get("VDPP_BENCH_QUANT")
+    if quant not in (None, "", "int8"):
+        # an ignored typo would record bf16 numbers as "quantized"
+        raise SystemExit(f"VDPP_BENCH_QUANT={quant!r}: only 'int8' is supported")
+    if quant == "int8":
         # Opt-in weight-only int8 (quantization changes numerics — the
         # DRIVER metric stays bf16; this knob measures the int8 serving
         # configuration, docs/performance.md "int8 flagship").

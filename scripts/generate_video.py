@@ -171,11 +171,10 @@ def main(argv=None) -> int:
     from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
 
     sp, fp = args.seq_parallel, args.frame_parallel
-    if sp > 1 and lat_w % (sp * 2 ** (unet_cfg.num_levels - 1)) != 0:
+    if sp > 1 and lat_w % unet_cfg.seq_min_divisor(sp) != 0:
         LOGGER.error(
             "--seq-parallel %d: latent width %d must divide by sp x "
-            "2^(levels-1) = %d", sp, lat_w,
-            sp * 2 ** (unet_cfg.num_levels - 1),
+            "2^(levels-1) = %d", sp, lat_w, unet_cfg.seq_min_divisor(sp),
         )
         return 1
     if fp > 1 and args.num_frames % fp != 0:
@@ -312,12 +311,13 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     os.makedirs(args.output_dir, exist_ok=True)
     decode_mesh = None
-    if overlap_decode_mesh is None and stages > 1:
+    stage_devices = stages * sp * fp  # ALL devices the diffusion mesh used
+    if overlap_decode_mesh is None and stage_devices > 1:
         # Decode chunks in parallel over the same devices (the reference
         # decodes on one rank while the rest idle).
         from vdpp_tpu.parallel.mesh import make_data_mesh
 
-        decode_mesh = make_data_mesh(stages)
+        decode_mesh = make_data_mesh(stage_devices)
     outputs = []
     for i in range(args.num_samples):
         if videos[i] is not None:

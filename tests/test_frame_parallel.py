@@ -304,3 +304,12 @@ def test_svd_frame_rejects_indivisible_frames():
             lambda bb, ll: fp_step(bb, ll, jnp.int32(0)),
             mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False,
         )(bundle, latent)
+
+
+def test_mesh_builder_rejects_oversized_per_stage_group():
+    """Auto-sized stage count must raise, not silently return a stage=0
+    mesh, when seq*frame exceeds the device count (code-review finding)."""
+    from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
+
+    with pytest.raises(ValueError, match="exceeds"):
+        make_pipeline_and_decode_meshes(None, 0, frame=16)

@@ -20,19 +20,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def server():
+def _launch_server(extra_args, label="server", device_count=4):
+    """Start a serve subprocess, poll /healthz to warm-up (skip on slow
+    hosts), yield the base URL, kill on teardown — the one copy of the
+    launch/poll/skip machinery every server fixture shares."""
     port = _free_port()
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={device_count}"
     proc = subprocess.Popen(
         [
-            sys.executable, "-m", "vdpp_tpu.modes.serve", "--preset", "tiny",
-            "--backend", "cpu", "--num-stages", "2", "--steps", "4",
-            "--num-frames", "2", "--latent-hw", "8", "8", "--port", str(port),
-            # decode decoupled onto a reserved device (device 2 of the
-            # 4-device virtual mesh) — covers the overlap path end-to-end
-            "--decode-devices", "1",
+            sys.executable, "-m", "vdpp_tpu.modes.serve",
+            "--preset", "tiny", "--backend", "cpu",
+            "--steps", "4", "--num-frames", "2", "--latent-hw", "8", "8",
+            "--port", str(port), *extra_args,
         ],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -42,7 +42,7 @@ def server():
     while time.time() < deadline:
         if proc.poll() is not None:
             out = proc.stdout.read()
-            raise RuntimeError(f"server died:\n{out[-3000:]}")
+            raise RuntimeError(f"{label} died:\n{out[-3000:]}")
         try:
             with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
                 if r.status == 200:
@@ -51,12 +51,17 @@ def server():
             time.sleep(2)
     else:
         proc.kill()
-        # Process alive but warm-up exceeded the deadline: environmental
-        # (slow host), not a product failure — skip rather than fail.
-        pytest.skip("server warm-up exceeded deadline on this host")
+        pytest.skip(f"{label} warm-up exceeded deadline on this host")
     yield base
     proc.kill()
     proc.wait(timeout=30)
+
+
+@pytest.fixture(scope="module")
+def server():
+    # decode decoupled onto a reserved device (device 2 of the 4-device
+    # virtual mesh) — covers the overlap path end-to-end
+    yield from _launch_server(["--num-stages", "2", "--decode-devices", "1"])
 
 
 def _open(req, timeout=300):
@@ -158,37 +163,10 @@ def test_unknown_path_404(server):
 @pytest.fixture(scope="module")
 def server_text():
     """The T5-text-conditioned DiT serving engine (--model dit3d)."""
-    port = _free_port()
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    proc = subprocess.Popen(
-        [
-            sys.executable, "-m", "vdpp_tpu.modes.serve", "--model", "dit3d",
-            "--preset", "tiny", "--backend", "cpu", "--num-stages", "2",
-            "--steps", "4", "--num-frames", "2", "--latent-hw", "8", "8",
-            "--guidance-scale", "5.0", "--port", str(port),
-        ],
-        cwd=REPO, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    yield from _launch_server(
+        ["--model", "dit3d", "--num-stages", "2", "--guidance-scale", "5.0"],
+        label="text server",
     )
-    base = f"http://127.0.0.1:{port}"
-    deadline = time.time() + 420
-    while time.time() < deadline:
-        if proc.poll() is not None:
-            out = proc.stdout.read()
-            raise RuntimeError(f"text server died:\n{out[-3000:]}")
-        try:
-            with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
-                if r.status == 200:
-                    break
-        except Exception:
-            time.sleep(2)
-    else:
-        proc.kill()
-        pytest.skip("text server warm-up exceeded deadline on this host")
-    yield base
-    proc.kill()
-    proc.wait(timeout=30)
 
 
 def test_generate_from_prompt(server_text):
@@ -229,37 +207,10 @@ def server_frame_parallel():
     """SVD server on a (stage=2, frame=2) mesh — the frame-parallel
     serving topology (oracle-equality of the underlying program is pinned
     in tests/test_frame_parallel.py; this covers the serving wiring)."""
-    port = _free_port()
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    proc = subprocess.Popen(
-        [
-            sys.executable, "-m", "vdpp_tpu.modes.serve", "--preset", "tiny",
-            "--backend", "cpu", "--num-stages", "2", "--frame-parallel", "2",
-            "--steps", "4", "--num-frames", "2", "--latent-hw", "8", "8",
-            "--port", str(port),
-        ],
-        cwd=REPO, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    yield from _launch_server(
+        ["--num-stages", "2", "--frame-parallel", "2"],
+        label="frame-parallel server",
     )
-    base = f"http://127.0.0.1:{port}"
-    deadline = time.time() + 420
-    while time.time() < deadline:
-        if proc.poll() is not None:
-            out = proc.stdout.read()
-            raise RuntimeError(f"server died:\n{out[-3000:]}")
-        try:
-            with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
-                if r.status == 200:
-                    break
-        except Exception:
-            time.sleep(2)
-    else:
-        proc.kill()
-        pytest.skip("server warm-up exceeded deadline on this host")
-    yield base
-    proc.kill()
-    proc.wait(timeout=30)
 
 
 def test_generate_on_frame_parallel_mesh(server_frame_parallel):
@@ -271,3 +222,20 @@ def test_generate_on_frame_parallel_mesh(server_frame_parallel):
     with _open(req) as r:
         body = r.read()
     assert r.status == 200 and body.startswith(b"GIF8")
+
+
+def test_indivisible_num_frames_is_a_400(server_frame_parallel):
+    """A per-request num_frames that does not divide by --frame-parallel
+    must be rejected as a 400 BEFORE tracing — a trace-time failure would
+    poison a cached stream slot per bad value (code-review finding)."""
+    req = urllib.request.Request(
+        server_frame_parallel + "/generate",
+        data=json.dumps({"seed": 1, "num_frames": 3}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        _open(req, timeout=60)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised

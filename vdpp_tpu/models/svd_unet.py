@@ -89,6 +89,13 @@ class SVDUNetConfig:
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
 
+    def seq_min_divisor(self, shards: int) -> int:
+        """Under W-halo sequence parallelism the latent width must divide
+        by ``shards * 2^(levels-1)`` so every level's LOCAL width stays
+        even for the stride-2 downsample grid — the ONE place the formula
+        lives (apply() and every CLI validate through it)."""
+        return shards * 2 ** (self.num_levels - 1)
+
     @classmethod
     def svd_xt(cls, dtype=jnp.bfloat16) -> "SVDUNetConfig":
         return cls(dtype=dtype)
@@ -514,7 +521,7 @@ class SVDUNet:
         if seq_axis is not None:
             # every level's LOCAL width must stay even for the stride-2
             # downsample grid to align across shards
-            min_div = seq_shards * 2 ** (cfg.num_levels - 1)
+            min_div = cfg.seq_min_divisor(seq_shards)
             if ww % min_div != 0:
                 raise ValueError(
                     f"latent width {ww} not divisible by seq_shards x "

@@ -155,10 +155,10 @@ def _build_model(args, config_dtype):
     config = (
         SVDUNetConfig.tiny() if args.model == "svd_tiny" else SVDUNetConfig.svd_xt()
     )
-    if sp > 1 and w % (sp * 2 ** (config.num_levels - 1)) != 0:
+    if sp > 1 and w % config.seq_min_divisor(sp) != 0:
         raise SystemExit(
             f"--seq-parallel {sp}: latent width {w} must be divisible by "
-            f"sp x 2^(levels-1) = {sp * 2 ** (config.num_levels - 1)} "
+            f"sp x 2^(levels-1) = {config.seq_min_divisor(sp)} "
             "(halo-exchange W sharding)"
         )
     model = StableVideoUNet(config, num_steps=args.total_steps)

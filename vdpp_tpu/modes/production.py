@@ -83,10 +83,10 @@ def main(argv=None) -> int:
     config = SVDUNetConfig.tiny() if args.preset == "tiny" else SVDUNetConfig.svd_xt()
     sp = args.seq_parallel
     fp = args.frame_parallel
-    if sp > 1 and w % (sp * 2 ** (config.num_levels - 1)) != 0:
+    if sp > 1 and w % config.seq_min_divisor(sp) != 0:
         raise SystemExit(
             f"--seq-parallel {sp}: latent width {w} must divide by "
-            f"sp x 2^(levels-1) = {sp * 2 ** (config.num_levels - 1)}"
+            f"sp x 2^(levels-1) = {config.seq_min_divisor(sp)}"
         )
     if fp > 1 and f % fp != 0:
         raise SystemExit(

@@ -90,6 +90,19 @@ class _Engine:
         self.args = args
         tiny = args.preset == "tiny"
         self.is_dit = args.model == "dit3d"
+        # Pure-argument validation BEFORE any model construction or
+        # checkpoint load (minutes of work on a real chip).
+        fp_early = getattr(args, "frame_parallel", 1)
+        if fp_early > 1 and self.is_dit:
+            raise SystemExit(
+                "--frame-parallel serves the SVD family only (the DiT "
+                "token axis already covers frames via --seq-parallel)"
+            )
+        if fp_early > 1 and args.num_frames % fp_early != 0:
+            raise SystemExit(
+                f"--frame-parallel {fp_early}: --num-frames "
+                f"{args.num_frames} must divide by it"
+            )
         self.vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.svd()
 
         if self.is_dit:
@@ -133,16 +146,6 @@ class _Engine:
 
         sp = getattr(args, "seq_parallel", 1)
         fp = getattr(args, "frame_parallel", 1)
-        if fp > 1 and self.is_dit:
-            raise SystemExit(
-                "--frame-parallel serves the SVD family only (the DiT "
-                "token axis already covers frames via --seq-parallel)"
-            )
-        if fp > 1 and args.num_frames % fp != 0:
-            raise SystemExit(
-                f"--frame-parallel {fp}: --num-frames {args.num_frames} "
-                "must divide by it"
-            )
         self.mesh, self.decode_mesh = make_pipeline_and_decode_meshes(
             args.num_stages, args.decode_devices, args.backend, seq=sp,
             frame=fp,
@@ -212,8 +215,14 @@ class _Engine:
         key = (num_frames, guidance, prompt if self.is_dit else None)
         with self.lock:
             if key in self._streams:
-                self._streams.move_to_end(key)
-                return self._streams[key]
+                cached = self._streams[key]
+                if cached.unusable:
+                    # a poisoned/closed stream must not be served again —
+                    # evict and rebuild below
+                    del self._streams[key]
+                else:
+                    self._streams.move_to_end(key)
+                    return cached
         if self.is_dit:
             from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
 
@@ -249,6 +258,14 @@ class _Engine:
         jax = self.jax
         args = self.args
         h, w = args.latent_hw
+        fp = getattr(args, "frame_parallel", 1)
+        if fp > 1 and num_frames % fp != 0:
+            # reject BEFORE tracing: a trace-time failure inside the
+            # stream driver would poison a stream slot per bad value
+            raise ValueError(
+                f"num_frames {num_frames} must divide by --frame-parallel "
+                f"{fp}"
+            )
         stream = self._get_stream(num_frames, guidance, prompt)
         noise = (
             jax.random.normal(jax.random.key(seed), (1, num_frames, h, w, 4))
@@ -384,6 +401,8 @@ def _make_handler(engine: _Engine, fps: int):
                 self.send_header("X-Generation-Seconds", f"{elapsed:.3f}")
                 self.end_headers()
                 self.wfile.write(data)
+            except ValueError as e:  # bad request parameters
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # surface errors as JSON
                 LOGGER.exception("generate failed")
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

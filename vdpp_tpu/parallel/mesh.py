@@ -209,6 +209,12 @@ def make_pipeline_and_decode_meshes(
             n = num_stages
             if n is None:
                 n = len(available_devices(backend)) // per_stage
+            if n < 1:
+                raise ValueError(
+                    f"per-stage group (seq {seq} x frame {frame} = "
+                    f"{per_stage}) exceeds the "
+                    f"{len(available_devices(backend))} available devices"
+                )
             return (
                 make_axes_mesh(backend, **{STAGE_AXIS: n}, **inner_axes),
                 None,

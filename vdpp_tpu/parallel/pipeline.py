@@ -432,6 +432,14 @@ class PipelineStream:
         self._thread = threading.Thread(target=self._drive, daemon=True)
         self._thread.start()
 
+    @property
+    def unusable(self) -> bool:
+        """True once the stream can never accept another submit (closed,
+        or the driver thread hit a failure and poisoned it). Callers that
+        cache streams (modes/serve.py) must evict on this — a dead cached
+        stream would otherwise 500 every later same-key request."""
+        return self._stopped or self._failure is not None
+
     def submit(self, latent: jax.Array):
         """Enqueue one sample ``(*latent_shape)``; returns a Future whose
         result is the finished (device-resident) latent."""
