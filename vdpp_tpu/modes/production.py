@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frame sharding width per stage: a "
                         "(stage[, seq], frame[, cfg]) mesh (latent F must "
                         "divide by the shard count)")
+    p.add_argument("--auto-topology", default=None,
+                   choices=["latency", "throughput"],
+                   help="pick the (stage, seq, frame, cfg) mesh "
+                        "factorization automatically for this objective "
+                        "(parallel/topology.py planner); explicit "
+                        "--num-stages/--seq-parallel/--frame-parallel/"
+                        "--cfg-parallel override it")
     p.add_argument("--cfg-parallel", action="store_true",
                    help="run the uncond/cond CFG branches concurrently on a "
                         "size-2 'cfg' mesh axis inside every stage (needs "
@@ -81,6 +88,33 @@ def main(argv=None) -> int:
 
     b, c, f, h, w = args.latent_shape
     config = SVDUNetConfig.tiny() if args.preset == "tiny" else SVDUNetConfig.svd_xt()
+    if args.auto_topology and not (
+        args.num_stages or args.seq_parallel > 1 or args.frame_parallel > 1
+        or args.cfg_parallel
+    ):
+        from vdpp_tpu.parallel.topology import plan_topology
+
+        plans = plan_topology(
+            len(jax.devices()),
+            total_steps=args.total_steps, frames=f, latent_w=w,
+            num_samples=args.num_samples,
+            seq_min_divisor_unit=config.seq_min_divisor(1),
+            guidance=args.guidance_scale is not None,
+            objective=args.auto_topology,
+        )
+        best = plans[0]
+        LOGGER.info("auto-topology (%s): %s", args.auto_topology,
+                    best.describe())
+        for alt in plans[1:3]:
+            LOGGER.info("  runner-up: %s", alt.describe())
+        args.num_stages = best.stage
+        args.seq_parallel = best.seq
+        args.frame_parallel = best.frame
+        args.cfg_parallel = best.cfg == 2
+        if best.padded_steps != args.total_steps:
+            args.pad_schedule = True
+    elif args.auto_topology:
+        LOGGER.info("auto-topology ignored: explicit axis flags given")
     sp = args.seq_parallel
     fp = args.frame_parallel
     if sp > 1 and w % config.seq_min_divisor(sp) != 0:

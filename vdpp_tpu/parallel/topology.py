@@ -1,0 +1,180 @@
+"""Topology planner: pick a (stage, seq, frame, cfg) mesh factorization.
+
+The framework exposes six composable mesh axes; which factorization of N
+devices is best depends on the objective:
+
+* **latency** (one sample as fast as possible): the step pipeline cannot
+  shrink a single sample's wall time (its T steps are inherently
+  sequential — the reference measured +16..84% single-latent overhead,
+  reference: EXPERIMENT_REPORT.md:116-123), so devices belong on the
+  INTRA-STEP axes — CFG branch split (removes the 2x of sequential CFG),
+  W-halo sequence sharding, frame sharding.
+* **throughput** (many samples): pipeline stages scale steady-state
+  linearly with a (S-1)/(N+S-1) fill bubble; intra-step axes also help
+  but pay collective overhead, so stages win once the sample stream is
+  long enough.
+
+The cost model is ANALYTIC and deliberately simple — per-axis efficiency
+factors default to measured-order-of-magnitude values (halo exchanges
+and K/V gathers are a few percent of a step on ICI; the CFG ppermute is
+one latent). It ranks plans; it does not promise wall-clock numbers.
+`modes/production.py --auto-topology` applies the top plan.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TopologyPlan:
+    """One candidate mesh factorization with its analytic scores."""
+
+    stage: int
+    seq: int
+    frame: int
+    cfg: int
+    devices: int
+    padded_steps: int          # schedule length after stage padding
+    step_speedup: float        # est. per-step latency reduction factor
+    latency_rel: float         # est. single-sample latency vs 1 device (<1 is faster)
+    throughput_rel: float      # est. steady throughput vs 1 device (>1 is faster)
+
+    @property
+    def axes(self) -> dict:
+        """Mesh axis sizes (only the >1 axes), in canonical order."""
+        out = {}
+        if self.stage > 1:
+            out["stage"] = self.stage
+        if self.seq > 1:
+            out["seq"] = self.seq
+        if self.frame > 1:
+            out["frame"] = self.frame
+        if self.cfg > 1:
+            out["cfg"] = self.cfg
+        return out
+
+    def describe(self) -> str:
+        ax = " x ".join(f"{k}={v}" for k, v in self.axes.items()) or "single-device"
+        return (
+            f"{ax} ({self.devices} devices): est. step speedup "
+            f"{self.step_speedup:.2f}x, single-sample latency "
+            f"{1 / self.latency_rel:.2f}x faster, steady throughput "
+            f"{self.throughput_rel:.2f}x"
+        )
+
+
+def _divisors(n: int) -> list[int]:
+    return [d for d in range(1, n + 1) if n % d == 0]
+
+
+def plan_topology(
+    n_devices: int,
+    *,
+    total_steps: int,
+    frames: int,
+    latent_w: int,
+    num_samples: int = 1,
+    seq_min_divisor_unit: int = 8,
+    guidance: bool = True,
+    objective: str = "latency",
+    seq_efficiency: float = 0.85,
+    frame_efficiency: float = 0.90,
+    cfg_efficiency: float = 0.97,
+    allow_pad_steps: bool = True,
+    max_plans: int = 8,
+) -> list[TopologyPlan]:
+    """Rank valid (stage, seq, frame, cfg) factorizations of ``n_devices``.
+
+    Args:
+        total_steps: schedule length T.
+        frames: latent frame count F (frame axis must divide it).
+        latent_w: latent width W (seq axis s needs
+            ``W % (s * seq_min_divisor_unit) == 0``).
+        num_samples: expected sample-stream length (drives the pipeline
+            fill-bubble term N/(N+S-1) of the throughput score).
+        seq_min_divisor_unit: ``2^(levels-1)`` of the UNet
+            (``SVDUNetConfig.seq_min_divisor(s) == s * unit``; 8 for
+            svd-xt's 4 levels).
+        guidance: CFG active (the cfg axis is only meaningful then).
+        objective: "latency" (rank by single-sample latency) or
+            "throughput" (rank by steady-state samples/sec).
+        *_efficiency: analytic per-doubling efficiency of each intra-step
+            axis (eta(k) = eff^log2(k)): halo exchanges / K/V gathers /
+            the CFG ppermute are cheap on ICI but not free.
+        allow_pad_steps: stages that do not divide T are allowed by
+            padding the schedule with exact-identity steps
+            (``EulerKarrasSchedule.create(pad_to_multiple_of=...)``);
+            the padding cost enters the scores as padded_T/T.
+
+    Returns:
+        Plans sorted best-first by the objective (ties: fewer devices).
+    """
+    if objective not in ("latency", "throughput"):
+        raise ValueError(f"unknown objective {objective!r}")
+    if n_devices < 1:
+        raise ValueError("n_devices must be >= 1")
+
+    def eta(k: int, eff: float) -> float:
+        return eff ** math.log2(k) if k > 1 else 1.0
+
+    plans: list[TopologyPlan] = []
+    for cfg_ax in (1, 2) if guidance else (1,):
+        for frame_ax in _divisors(frames):
+            for seq_ax in range(1, n_devices + 1):
+                if seq_ax > 1 and latent_w % (seq_ax * seq_min_divisor_unit):
+                    continue
+                inner = cfg_ax * frame_ax * seq_ax
+                if inner > n_devices:
+                    continue
+                stage = n_devices // inner
+                # also consider not using the leftover devices for stages
+                for stage_ax in {1, stage}:
+                    if stage_ax * inner > n_devices:
+                        continue
+                    if total_steps % stage_ax == 0:
+                        padded = total_steps
+                    elif allow_pad_steps:
+                        padded = math.ceil(total_steps / stage_ax) * stage_ax
+                    else:
+                        continue
+                    pad_cost = padded / total_steps
+                    # Per-step speedup of the intra-step axes. A cfg axis
+                    # removes sequential CFG's 2nd forward entirely (2x),
+                    # minus one latent ppermute.
+                    speedup = (
+                        seq_ax * eta(seq_ax, seq_efficiency)
+                        * frame_ax * eta(frame_ax, frame_efficiency)
+                        * (2.0 * eta(2, cfg_efficiency) if cfg_ax == 2 else 1.0)
+                    )
+                    # Single-sample latency: T sequential steps regardless
+                    # of stage count (stages only add hand-offs, ~free on
+                    # ICI at the measured 14500:1 compute:comm ratio).
+                    latency_rel = pad_cost / speedup
+                    # Steady throughput: stage_ax-way step pipelining with
+                    # the exact fill bubble for num_samples.
+                    fill = num_samples / (num_samples + stage_ax - 1)
+                    throughput_rel = stage_ax * speedup * fill / pad_cost
+                    plans.append(TopologyPlan(
+                        stage=stage_ax, seq=seq_ax, frame=frame_ax,
+                        cfg=cfg_ax, devices=stage_ax * inner,
+                        padded_steps=padded, step_speedup=speedup,
+                        latency_rel=latency_rel,
+                        throughput_rel=throughput_rel,
+                    ))
+
+    key = (
+        (lambda p: (p.latency_rel, p.devices))
+        if objective == "latency"
+        else (lambda p: (-p.throughput_rel, p.devices))
+    )
+    # dedup identical factorizations from the two stage_ax candidates
+    seen = set()
+    unique = []
+    for p in sorted(plans, key=key):
+        k = (p.stage, p.seq, p.frame, p.cfg)
+        if k not in seen:
+            seen.add(k)
+            unique.append(p)
+    return unique[:max_plans]
