@@ -82,6 +82,21 @@ def test_production_mode_tiny():
     assert "final latent norm" in r.stderr + r.stdout
 
 
+def test_production_auto_topology():
+    """--auto-topology plans the mesh factorization (planner unit tests
+    in tests/test_topology.py; this pins the CLI wiring end-to-end)."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
+        "--total-steps", "4", "--num-samples", "1", "--guidance-scale", "3",
+        "--latent-shape", "1", "4", "4", "16", "16",
+        "--auto-topology", "latency",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stderr + r.stdout
+    assert "auto-topology (latency):" in out
+    assert "final latent norm" in out
+
+
 def test_benchmark_cfg_parallel_contract():
     r = run_cli([
         "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
