@@ -350,7 +350,14 @@ def main(argv=None) -> int:
             force_sync(jax.block_until_ready(pipe.run(bundle, fresh)))
             total = time.perf_counter() - t0
             # steady state emits dp samples per pipeline tick-period
-            steady = (total - first) / max(total_n - dp, 1)
+            if total_n > dp:
+                steady = (total - first) / (total_n - dp)
+            else:
+                # the whole stream fits one tick-batch: no steady phase
+                # exists, and (total - first) is timing noise of two runs
+                # of the SAME work (it produced a negative "steady" in a
+                # sweep artifact) — report the amortized per-sample time.
+                steady = total / total_n
             throughput = total_n / total
             per_sample_ms = [first * 1e3] * dp + [steady * 1e3] * (total_n - dp)
         else:
