@@ -70,3 +70,42 @@ def test_build_output_name_selfdescribing():
                              seed=42, ext="mp4")
     for token in ("svd", "f14", "s25", "st8", "fps7", "seed42", ".mp4"):
         assert token in name
+
+
+def test_bench_backend_retry_reexecs_on_init_failure(monkeypatch):
+    """bench.py's _init_backend_with_retry: a raising backend init must
+    re-exec the script with the attempt counter bumped (JAX memoizes a
+    failed init, so an in-process retry cannot recover); the 6th attempt
+    re-raises."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = {}
+
+    def fake_devices():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    def fake_execv(exe, argv):
+        calls["execv"] = (exe, list(argv))
+
+    monkeypatch.setattr(bench.jax, "devices", fake_devices)
+    monkeypatch.setattr(bench.os, "execv", fake_execv)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    monkeypatch.setenv("VDPP_BENCH_INIT_ATTEMPT", "0")
+    bench._init_backend_with_retry()
+    assert calls["execv"][0] == sys.executable
+    assert os.environ["VDPP_BENCH_INIT_ATTEMPT"] == "1"
+
+    monkeypatch.setenv("VDPP_BENCH_INIT_ATTEMPT", "5")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="axon"):
+        bench._init_backend_with_retry()
