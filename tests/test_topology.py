@@ -82,3 +82,28 @@ def test_describe_is_readable():
 def test_bad_objective_rejected():
     with pytest.raises(ValueError, match="objective"):
         _top("both")
+
+
+def test_intermediate_stage_counts_enumerated():
+    """A smaller-than-maximal stage count must be considered: at T=4 on 8
+    devices, stage=4 (no padding) beats stage=8 (pads to 8 steps = 2x
+    compute per sample) — code-review finding."""
+    plans = plan_topology(
+        8, total_steps=4, frames=1, latent_w=8, guidance=False,
+        num_samples=100, objective="throughput",
+    )
+    best = plans[0]
+    assert best.stage == 4 and best.padded_steps == 4
+    stages = {p.stage for p in plans}
+    assert 4 in stages and 8 in stages
+
+
+def test_describe_never_calls_slower_plans_faster():
+    plans = plan_topology(
+        8, total_steps=30, frames=25, latent_w=128, num_samples=1000,
+        objective="throughput",
+    )
+    padded = [p for p in plans if p.latency_rel > 1.0]
+    assert padded, "expected a padded plan in the top ranks"
+    assert "slower" in padded[0].describe()
+    assert "faster" not in padded[0].describe().split("latency")[1].split(",")[0]

@@ -57,11 +57,16 @@ class TopologyPlan:
 
     def describe(self) -> str:
         ax = " x ".join(f"{k}={v}" for k, v in self.axes.items()) or "single-device"
+        if self.latency_rel <= 1.0:
+            lat = f"{1 / self.latency_rel:.2f}x faster"
+        else:
+            # schedule padding can make a single sample SLOWER than one
+            # device; never phrase that as "0.9x faster"
+            lat = f"{self.latency_rel:.2f}x slower"
         return (
             f"{ax} ({self.devices} devices): est. step speedup "
-            f"{self.step_speedup:.2f}x, single-sample latency "
-            f"{1 / self.latency_rel:.2f}x faster, steady throughput "
-            f"{self.throughput_rel:.2f}x"
+            f"{self.step_speedup:.2f}x, single-sample latency {lat}, "
+            f"steady throughput {self.throughput_rel:.2f}x"
         )
 
 
@@ -128,11 +133,9 @@ def plan_topology(
                 inner = cfg_ax * frame_ax * seq_ax
                 if inner > n_devices:
                     continue
-                stage = n_devices // inner
-                # also consider not using the leftover devices for stages
-                for stage_ax in {1, stage}:
-                    if stage_ax * inner > n_devices:
-                        continue
+                # every stage count that fits (a smaller-than-maximal one
+                # can win when the maximal count forces schedule padding)
+                for stage_ax in range(1, n_devices // inner + 1):
                     if total_steps % stage_ax == 0:
                         padded = total_steps
                     elif allow_pad_steps:
