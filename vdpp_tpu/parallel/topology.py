@@ -172,7 +172,7 @@ def plan_topology(
         if objective == "latency"
         else (lambda p: (-p.throughput_rel, p.devices))
     )
-    # dedup identical factorizations from the two stage_ax candidates
+    # keep the best-scored instance of each distinct factorization
     seen = set()
     unique = []
     for p in sorted(plans, key=key):
