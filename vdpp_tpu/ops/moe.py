@@ -2,7 +2,7 @@
 
 The reference has no MoE (its model surface is diffusers' dense SVD
 UNet); this is a beyond-reference capability for MoE video-DiT variants,
-and the fifth composable mesh axis ("expert") next to stage/data/seq/cfg.
+and a composable mesh axis ("expert") next to stage/data/seq/frame/cfg.
 
 Design (TPU-first, exact):
 
