@@ -261,3 +261,161 @@ def test_pipeline_runs_quantized():
     # design invariant holds for the quantized model too
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# --------------------------------------------------------------------- #
+# W8A8 x intra-sample sharding (round-4 ADVICE fixes): the activation
+# scale must be mesh-GLOBAL so the sharded int8 GEMM is BIT-identical to
+# the unsharded one.
+# --------------------------------------------------------------------- #
+def test_a8_conv2d_halo_bitexact_vs_unsharded():
+    """a8 conv under W-axis sharding: pmax'd per-tensor scale + int8 halo
+    exchange reproduce the unsharded int8 GEMM exactly (integer
+    arithmetic, identical scalar scales) — the property that makes
+    --weights-w8a8 legal under --seq-parallel. Covers stride 1 (SAME) and
+    the stride-2 downsample site's explicit ((1,1),(1,1)) padding."""
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.ops.conv import conv2d, conv2d_halo, init_conv2d
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    for stride in (1, 2):
+        kx, kw2 = jax.random.split(jax.random.key(stride))
+        x = jax.random.normal(kx, (2, 8, 8, 64), jnp.float32)
+        p = init_conv2d(kw2, 64, 64, 3)
+        pq = {"w": quantize_weight(p["w"], a8=True), "b": p["b"]}
+        assert "q8" in pq["w"]
+        if stride == 1:
+            ref = conv2d(x, pq)
+        else:
+            ref = conv2d(x, pq, stride=2, padding=((1, 1), (1, 1)))
+        mesh = make_axes_mesh(seq=4)
+        fn = jax.jit(jax.shard_map(
+            lambda pp, xx, s=stride: conv2d_halo(xx, pp, "seq", stride=s),
+            mesh=mesh, in_specs=(P(), P(None, None, "seq")),
+            out_specs=P(None, None, "seq"), check_vma=False,
+        ))
+        np.testing.assert_array_equal(
+            np.asarray(fn(pq, x)), np.asarray(ref),
+            err_msg=f"stride={stride}",
+        )
+
+
+def test_a8_conv2d_frame_sharded_bitexact():
+    """a8 conv whose ROWS (B*F) are sharded over a frame axis: with
+    amax_axes=("frame",) the per-tensor activation scale pmaxes to the
+    global value, so the frame-local conv equals the unsharded one
+    bit-for-bit (the round-3 ADVICE finding: a local scale silently broke
+    W8A8 oracle equality under --frame-parallel)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.ops.conv import conv2d, init_conv2d
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    kx, kw2 = jax.random.split(jax.random.key(7))
+    x = jax.random.normal(kx, (4, 6, 6, 64), jnp.float32)
+    p = init_conv2d(kw2, 64, 64, 3)
+    pq = {"w": quantize_weight(p["w"], a8=True), "b": p["b"]}
+    ref = conv2d(x, pq)
+    mesh = make_axes_mesh(frame=2)
+    fn = jax.jit(jax.shard_map(
+        lambda pp, xx: conv2d(xx, pp, amax_axes=("frame",)),
+        mesh=mesh, in_specs=(P(), P("frame")), out_specs=P("frame"),
+        check_vma=False,
+    ))
+    np.testing.assert_array_equal(np.asarray(fn(pq, x)), np.asarray(ref))
+
+
+def _w8a8_svd_setup():
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4, cfg_mode="sequential")
+    qparams = quantize_tree(
+        model.init(jax.random.key(0)), min_size=256, act_int8=True
+    )
+    leaves = jax.tree_util.tree_leaves_with_path(qparams)
+    assert any("q8" in str(path[-1]) for path, _ in leaves)
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 4, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    latent = (
+        jax.random.normal(jax.random.key(2), (1, 4, 16, 16, 4), jnp.float32)
+        * model.init_noise_sigma
+    )
+    return model, (qparams, cond), latent
+
+
+def _sharded_schedule(mesh, step, bundle, latent, steps=4):
+    from jax.sharding import PartitionSpec as P
+
+    def body(bundle, lat):
+        def one(x, k):
+            return step(bundle, x, k), None
+
+        x, _ = jax.lax.scan(one, lat, jnp.arange(steps, dtype=jnp.int32))
+        return x
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False
+    ))
+    return fn(bundle, latent)
+
+
+def _assert_quant_step_bounded(out, ref, rel_bound=0.06, cos_bound=0.999):
+    """W8A8 x intra-sample sharding drift contract.
+
+    Unlike the float/weight-only paths (elementwise 2e-5), end-to-end
+    W8A8 equality across DIFFERENTLY-SHARDED traced programs is not
+    achievable: the sharded program's psum'd GroupNorm statistics and
+    gathered attention reassociate fp reductions at the ~1-ulp level, and
+    every dynamic int8 quantization turns a 1-ulp input difference at a
+    rounding boundary into a FULL quantization-step flip (~amax/127).
+    The site-level contract IS exact — given bit-equal inputs the sharded
+    conv/linear int8 GEMMs are bit-identical (the two bitexact op tests
+    above) — so the residual model-level drift is pure quantization noise,
+    the same class as W8A8-vs-float drift (measured relL2 ~2.6%, cosine
+    0.9997 at the tiny config; bounds carry ~2x margin)."""
+    a = np.asarray(out, np.float64)
+    b = np.asarray(ref, np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    cos = (a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum())
+    assert rel < rel_bound, f"relative L2 {rel:.4g} >= {rel_bound}"
+    assert cos > cos_bound, f"cosine {cos:.6f} <= {cos_bound}"
+
+
+def test_w8a8_model_seq_parallel_quant_bounded():
+    """Full tiny SVD forward, W8A8 weights, W-axis sequence parallelism:
+    drift vs the single-device W8A8 oracle is bounded by quantization
+    noise (the old conv2d_halo silently DEQUANTIZED a8 convs to float —
+    a different program, not a quantization of the same one)."""
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, bundle, latent = _w8a8_svd_setup()
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, latent[None], 4
+    )[0]
+    out = _sharded_schedule(
+        make_axes_mesh(seq=2),
+        model.pipeline_step_fn(seq_axis="seq", seq_shards=2),
+        bundle, latent,
+    )
+    _assert_quant_step_bounded(out, ref)
+
+
+def test_w8a8_model_frame_parallel_quant_bounded():
+    """Full tiny SVD forward, W8A8 weights, frame parallelism: the
+    frame-local spatial convs quantize with the pmax'd global scale
+    (without it each shard derived its own per-tensor scale — the
+    round-3 ADVICE finding); residual drift is quantization noise."""
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, bundle, latent = _w8a8_svd_setup()
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, latent[None], 4
+    )[0]
+    out = _sharded_schedule(
+        make_axes_mesh(frame=2),
+        model.pipeline_step_fn(frame_axis="frame", frame_shards=2),
+        bundle, latent,
+    )
+    _assert_quant_step_bounded(out, ref)

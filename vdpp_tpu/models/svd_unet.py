@@ -135,15 +135,21 @@ def _init_spatial_resnet(kg: _Keys, cfg: SVDUNetConfig, in_ch: int, out_ch: int)
 
 def _spatial_resnet(
     p: dict, x: jax.Array, emb: jax.Array, cfg: SVDUNetConfig,
-    seq_axis: str | None = None,
+    seq_axis: str | None = None, amax_axes: tuple[str, ...] = (),
 ) -> jax.Array:
     """x: (BF, H, W, C), emb: (BF, time_embed_dim).
 
     ``seq_axis``: W is sharded over this mesh axis (sequence parallelism):
     3x3 convs exchange halos, GroupNorm statistics psum across shards;
-    the 1x1 shortcut stays local.
+    the 1x1 shortcut stays local. ``amax_axes``: every mesh axis sharding
+    x's elements (seq AND frame), so W8A8 activation scales stay
+    mesh-global (ops/conv.py docstrings).
     """
-    c3 = (lambda h, pp: conv2d_halo(h, pp, seq_axis)) if seq_axis else conv2d
+    c3 = (
+        (lambda h, pp: conv2d_halo(h, pp, seq_axis, amax_axes=amax_axes))
+        if seq_axis else
+        (lambda h, pp: conv2d(h, pp, amax_axes=amax_axes))
+    )
     h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
                    psum_axis=seq_axis)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
@@ -154,7 +160,10 @@ def _spatial_resnet(
                    psum_axis=seq_axis)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
     h = c3(h, p["conv2"])
-    shortcut = conv2d(x, p["conv_shortcut"]) if "conv_shortcut" in p else x
+    shortcut = (
+        conv2d(x, p["conv_shortcut"], amax_axes=amax_axes)
+        if "conv_shortcut" in p else x
+    )
     return shortcut + h
 
 
@@ -222,7 +231,9 @@ def _st_resblock(
     import os as _os
 
     bf, hh, ww, _ = x.shape
-    h_spatial = _spatial_resnet(p["spatial"], x, emb, cfg, seq_axis=seq_axis)
+    amax_axes = tuple(a for a in (seq_axis, frame_axis) if a is not None)
+    h_spatial = _spatial_resnet(p["spatial"], x, emb, cfg, seq_axis=seq_axis,
+                                amax_axes=amax_axes)
     if _os.environ.get("VDPP_ABLATE_TEMPORAL_RESNET") == "1":  # profiling only
         return h_spatial
     c = h_spatial.shape[-1]
@@ -531,13 +542,14 @@ class SVDUNet:
             raise ValueError(
                 f"frame count {f} not divisible by frame_shards {frame_shards}"
             )
+        amax_axes = tuple(a for a in (seq_axis, frame_axis) if a is not None)
         c3 = (
             # halo form supplies its own W handling; `padding` (always the
             # 3x3-SAME shape at these sites) is subsumed by the halo
-            (lambda h, pp, stride=1, **_: conv2d_halo(h, pp, seq_axis,
-                                                      stride=stride))
+            (lambda h, pp, stride=1, **_: conv2d_halo(
+                h, pp, seq_axis, stride=stride, amax_axes=amax_axes))
             if seq_axis is not None else
-            (lambda h, pp, **kw: conv2d(h, pp, **kw))
+            (lambda h, pp, **kw: conv2d(h, pp, amax_axes=amax_axes, **kw))
         )
 
         # --- embeddings (fp32 sinusoids, model-dtype MLPs) ---

@@ -41,6 +41,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 LOGGER = logging.getLogger("vdpp.serve")
 
 
+class BadRequest(ValueError):
+    """Client-input validation failure -> HTTP 400.
+
+    Only THIS type maps to 400: a bare ValueError raised deep inside the
+    generate path (e.g. a JAX shape check) is an internal error and must
+    surface as 500 with a server-side traceback, not be misreported as a
+    bad request."""
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
@@ -262,7 +271,7 @@ class _Engine:
         if fp > 1 and num_frames % fp != 0:
             # reject BEFORE tracing: a trace-time failure inside the
             # stream driver would poison a stream slot per bad value
-            raise ValueError(
+            raise BadRequest(
                 f"num_frames {num_frames} must divide by --frame-parallel "
                 f"{fp}"
             )
@@ -362,13 +371,23 @@ def _make_handler(engine: _Engine, fps: int):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                seed = int(req.get("seed", 0))
-                frames = int(req.get("num_frames", engine.args.num_frames))
-                guidance = req.get("guidance_scale", engine.args.guidance_scale)
-                prompt = req.get("prompt")
-                fmt = req.get("format", "gif")
+                try:
+                    # parameter decode/validation: failures here are the
+                    # client's — anything after is ours
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    seed = int(req.get("seed", 0))
+                    frames = int(req.get("num_frames", engine.args.num_frames))
+                    guidance = req.get("guidance_scale",
+                                       engine.args.guidance_scale)
+                    if guidance is not None:
+                        guidance = float(guidance)
+                    prompt = req.get("prompt")
+                    fmt = req.get("format", "gif")
+                    if fmt not in ("gif", "y4m"):
+                        raise BadRequest(f"format {fmt!r}: use 'gif' or 'y4m'")
+                except (ValueError, TypeError, json.JSONDecodeError) as e:
+                    raise BadRequest(str(e)) from e
                 video, elapsed = engine.generate(seed, frames, guidance, prompt)
                 frames_u8 = frames_to_uint8(np.asarray(video))
                 if fmt == "y4m":
@@ -401,9 +420,9 @@ def _make_handler(engine: _Engine, fps: int):
                 self.send_header("X-Generation-Seconds", f"{elapsed:.3f}")
                 self.end_headers()
                 self.wfile.write(data)
-            except ValueError as e:  # bad request parameters
+            except BadRequest as e:  # bad request parameters only
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
-            except Exception as e:  # surface errors as JSON
+            except Exception as e:  # internal errors -> 500 + traceback
                 LOGGER.exception("generate failed")
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

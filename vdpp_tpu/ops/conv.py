@@ -29,7 +29,36 @@ def _kernel_in(params: dict, dtype) -> jax.Array:
     return weight_for(params, dtype)
 
 
-def _conv2d_int8(x: jax.Array, params: dict, stride: int, padding) -> jax.Array:
+def _im2col_int8_gemm(
+    qp: jax.Array, wq: dict, stride: int, ho: int, wo: int
+) -> jax.Array:
+    """int8 x int8 -> int32 GEMM over im2col patches of an already-padded
+    int8 input ``qp``. Returns (N, Ho, Wo, Cout) int32."""
+    kh, kw, cin, cout = wq["q8"].shape
+    # (i, j)-major patch order matches the HWIO kernel's reshape order.
+    cols = [
+        qp[
+            :,
+            i : i + (ho - 1) * stride + 1 : stride,
+            j : j + (wo - 1) * stride + 1 : stride,
+            :,
+        ]
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (N, Ho, Wo, kh*kw*Cin) int8
+    return jax.lax.dot_general(
+        patches,
+        wq["q8"].reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _conv2d_int8(
+    x: jax.Array, params: dict, stride: int, padding,
+    amax_axes: tuple[str, ...] = (),
+) -> jax.Array:
     """W8A8 spatial conv: per-tensor activation quantization, explicit
     im2col, then an int8 x int8 -> int32 GEMM.
 
@@ -42,13 +71,18 @@ def _conv2d_int8(x: jax.Array, params: dict, stride: int, padding) -> jax.Array:
     scale (exactness vs the dequant conv is bounded by that scale's
     granularity; oracle-equality pipelined-vs-single-device still holds
     because both sides trace the same program).
+
+    ``amax_axes``: mesh axes sharding x's elements (e.g. the frame axis
+    when spatial convs run frame-locally inside shard_map) — the
+    activation scale is pmax'd over them so it matches the global scale
+    the unsharded program derives (quantize_activation docstring).
     """
     from vdpp_tpu.ops.quant import quantize_activation
 
     wq = params["w"]
-    kh, kw, cin, cout = wq["q8"].shape
+    kh, kw, _, _ = wq["q8"].shape
     n, h, w, _ = x.shape
-    q, ascale = quantize_activation(x, per_row=False)
+    q, ascale = quantize_activation(x, per_row=False, pmax_axes=amax_axes)
     if padding == "SAME":
         ho, wo = -(-h // stride), -(-w // stride)
         ph = max((ho - 1) * stride + kh - h, 0)
@@ -63,34 +97,22 @@ def _conv2d_int8(x: jax.Array, params: dict, stride: int, padding) -> jax.Array:
         wo = (w + pwl + pwh - kw) // stride + 1
         pads = (phl, phh), (pwl, pwh)
     qp = jnp.pad(q, ((0, 0), pads[0], pads[1], (0, 0)))
-    # (i, j)-major patch order matches the HWIO kernel's reshape order.
-    cols = [
-        qp[
-            :,
-            i : i + (ho - 1) * stride + 1 : stride,
-            j : j + (wo - 1) * stride + 1 : stride,
-            :,
-        ]
-        for i in range(kh)
-        for j in range(kw)
-    ]
-    patches = jnp.concatenate(cols, axis=-1)  # (N, Ho, Wo, kh*kw*Cin) int8
-    y = jax.lax.dot_general(
-        patches,
-        wq["q8"].reshape(kh * kw * cin, cout),
-        (((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    y = _im2col_int8_gemm(qp, wq, stride, ho, wo)
     y = y.astype(jnp.float32) * ascale * wq["scale"]
     return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
 
 
-def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.Array:
+def conv2d(
+    x: jax.Array, params: dict, stride: int = 1, padding="SAME",
+    amax_axes: tuple[str, ...] = (),
+) -> jax.Array:
     """2-D conv, NHWC. fp32 accumulation on the MXU, output in x.dtype.
-    a8-marked int8 weights route to the im2col int8 GEMM form."""
+    a8-marked int8 weights route to the im2col int8 GEMM form.
+    ``amax_axes``: mesh axes sharding x (a8 path only — global activation
+    scale; see _conv2d_int8)."""
     w = params["w"]
     if isinstance(w, dict) and "q8" in w:
-        return _conv2d_int8(x, params, stride, padding)
+        return _conv2d_int8(x, params, stride, padding, amax_axes)
     y = jax.lax.conv_general_dilated(
         x,
         _kernel_in(params, x.dtype),
@@ -102,8 +124,45 @@ def conv2d(x: jax.Array, params: dict, stride: int = 1, padding="SAME") -> jax.A
     return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
 
 
+def _conv2d_int8_halo(
+    x: jax.Array, params: dict, seq_axis: str, stride: int,
+    amax_axes: tuple[str, ...],
+) -> jax.Array:
+    """W8A8 form of ``conv2d_halo``: quantize with the mesh-GLOBAL
+    per-tensor scale (pmax over ``seq_axis`` + any other sharding axes),
+    halo-exchange the INT8 shard (4x cheaper on ICI than the float halo),
+    then run the same im2col int8 GEMM as ``_conv2d_int8``.
+
+    Because the scale is global, every shard quantizes identically, the
+    exchanged halo columns carry the neighbors' exact int8 values, and the
+    ppermute zero-fill at the chain ends equals the unsharded program's
+    zero padding (0 quantizes to 0) — so given BIT-EQUAL inputs the int32
+    GEMM results are bit-identical to the unsharded ``_conv2d_int8``
+    (tests/test_quant.py bitexact op tests). End-to-end, the sharded
+    model's psum'd norm statistics / gathered attention differ from the
+    unsharded program at the ~1-ulp level, and dynamic quantization can
+    turn such a difference at a rounding boundary into a full
+    quantization-step flip — so full-model W8A8 x seq/frame parity is
+    quantization-noise bounded, not elementwise (same test module)."""
+    from vdpp_tpu.ops.quant import quantize_activation
+
+    wq = params["w"]
+    kh, kw, _, _ = wq["q8"].shape
+    n, h, wl, _ = x.shape
+    axes = (seq_axis,) + tuple(a for a in amax_axes if a != seq_axis)
+    q, ascale = quantize_activation(x, per_row=False, pmax_axes=axes)
+    qh = _halo_exchange(q, seq_axis, axis=2, halo=1)
+    qp = jnp.pad(qh, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    ho = (h + 2 - kh) // stride + 1
+    wo = (wl + 2 - kw) // stride + 1
+    y = _im2col_int8_gemm(qp, wq, stride, ho, wo)
+    y = y.astype(jnp.float32) * ascale * wq["scale"]
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+
+
 def conv2d_halo(
-    x: jax.Array, params: dict, seq_axis: str, stride: int = 1
+    x: jax.Array, params: dict, seq_axis: str, stride: int = 1,
+    amax_axes: tuple[str, ...] = (),
 ) -> jax.Array:
     """3x3 conv on an input whose W axis is sharded over ``seq_axis``.
 
@@ -118,7 +177,15 @@ def conv2d_halo(
     W_local is even: local window starts map exactly onto the global
     stride grid. Elementwise-equal to the unsharded ``conv2d`` (enforced
     in tests/test_sequence_parallel.py).
+
+    a8-marked int8 weights route to ``_conv2d_int8_halo`` (the sharded
+    W8A8 path — same int8 GEMM, mesh-global activation scale); weight-only
+    int8 dequantizes identically on every shard, so both quantized forms
+    preserve the oracle-equality invariant.
     """
+    w = params["w"]
+    if isinstance(w, dict) and "q8" in w:
+        return _conv2d_int8_halo(x, params, seq_axis, stride, amax_axes)
     xh = _halo_exchange(x, seq_axis, axis=2, halo=1)
     y = jax.lax.conv_general_dilated(
         xh,
@@ -172,6 +239,14 @@ def conv_temporal_halo(x: jax.Array, params: dict, frame_axis: str) -> jax.Array
     from vdpp_tpu.ops.quant import _qtensor
 
     w = params["w"]
+    if isinstance(w, dict) and "q8" in w:
+        # quantize_tree never a8-marks 5-D temporal kernels (their emitter
+        # has no int8 fast path) — refuse a hand-marked one rather than
+        # silently dequantizing an activation-quantization request.
+        raise NotImplementedError(
+            "a8 (W8A8) temporal convs are not implemented; use weight-only "
+            "int8 for temporal kernels"
+        )
     k = (_qtensor(w) if isinstance(w, dict) else w).shape[0]
     if k % 2 == 0:
         # conv_temporal's symmetric (k-1)//2 SAME padding shrinks even-k
@@ -203,6 +278,12 @@ def conv_temporal(x: jax.Array, params: dict) -> jax.Array:
     from vdpp_tpu.ops.quant import _qtensor
 
     w = params["w"]
+    if isinstance(w, dict) and "q8" in w:
+        # same guard as conv_temporal_halo: no silent a8 -> float dequant
+        raise NotImplementedError(
+            "a8 (W8A8) temporal convs are not implemented; use weight-only "
+            "int8 for temporal kernels"
+        )
     k = (_qtensor(w) if isinstance(w, dict) else w).shape[0]
     pad = (k - 1) // 2
     y = jax.lax.conv_general_dilated(

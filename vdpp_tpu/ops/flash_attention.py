@@ -330,6 +330,17 @@ def flash_attention(
 ) -> jax.Array:
     """Flash attention over (B, L, H, D) tensors (non-causal, no mask).
 
+    PRECONDITION (static-max softmax, the default): logits must satisfy
+    |q.k/sqrt(d)| <= ~69 (log2-logits within +-100). ``static_max=True``
+    skips the running row-max and normalizes by a CONSTANT bound instead
+    — exact within the clamp, but logits beyond it SATURATE rather than
+    matching true softmax (only finiteness is guaranteed). Every in-repo
+    caller feeds post-LayerNorm/GroupNorm activations whose logits sit
+    well inside the clamp (measured |logit| < 30 across the UNet/DiT
+    sites, docs/performance.md "static-max softmax"). Callers feeding
+    UN-normalized activations must pass ``static_max=False`` (or set
+    VDPP_FLASH_SOFTMAX=running) to get the classic running-max kernel.
+
     Default blocks are the measured v5e optimum at the dominant SVD site
     (L=9216: 1536/1536/1536 = 45.1 ms / 33.7 TFLOP/s vs 48.5 ms for the
     previous 512-row q block; scripts/bench_attention.py 2026-08-16);

@@ -91,7 +91,9 @@ def weight_for(params: dict, dtype, key: str = "w") -> jax.Array:
     return w.astype(dtype)
 
 
-def quantize_activation(x: jax.Array, per_row: bool = True):
+def quantize_activation(
+    x: jax.Array, per_row: bool = True, pmax_axes: tuple[str, ...] = ()
+):
     """Dynamic symmetric int8 quantization of an activation tensor.
 
     ``per_row=True``: one scale per row of the trailing (reduction) axis
@@ -99,6 +101,14 @@ def quantize_activation(x: jax.Array, per_row: bool = True):
     ``per_row=False``: one scalar scale for the whole tensor — used for
     convs, where quantizing BEFORE im2col (so the 9x patch duplication
     copies int8, not float) forces a single shared scale.
+
+    ``pmax_axes``: mesh axes (inside ``shard_map``) over which the tensor's
+    elements are SHARDED — the amax is pmax'd over them so every shard
+    derives the same GLOBAL scale the unsharded program would. Without
+    this, a per-tensor scale computed on a local shard diverges from the
+    single-device oracle and breaks the W8A8 elementwise-equality
+    invariant. Per-ROW scales never need it: under seq/frame sharding the
+    rows themselves are disjoint across shards.
     Returns ``(q int8, scale f32)``.
     """
     xf = x.astype(jnp.float32)
@@ -106,6 +116,8 @@ def quantize_activation(x: jax.Array, per_row: bool = True):
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     else:
         amax = jnp.max(jnp.abs(xf))
+        for ax in pmax_axes:
+            amax = jax.lax.pmax(amax, ax)
     scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return q, scale
