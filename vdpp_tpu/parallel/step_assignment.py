@@ -6,10 +6,13 @@ step-assignment layer (reference: src/pipeline/step_assignment.py:1-5).
 
 Behavioral parity with reference src/pipeline/step_assignment.py:35-69:
 ``assign_steps`` maps (total_steps, world_size, rank) to a contiguous
-closed-open ``[start, end)`` slice and hard-fails on a non-divisible split.
-Beyond parity, ``assign_steps_uneven`` supports remainder distribution
-(early stages receive one extra step) so an 8-chip v5e mesh can run, e.g.,
-a 30-step schedule — a configuration the reference rejects.
+half-open ``[start, end)`` slice and hard-fails on a non-divisible split.
+Non-divisible schedules (e.g. 30 steps on an 8-chip v5e mesh) are handled
+in PRODUCTION by identity-step schedule padding
+(``EulerKarrasSchedule.create(pad_to_multiple_of=...)``), which keeps
+per-tick work uniform; ``assign_steps_uneven`` is a diagnostics-only
+remainder-distribution helper. Both options go beyond the reference,
+which simply rejects such configs.
 """
 
 from __future__ import annotations
@@ -19,20 +22,24 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class StepRange:
-    """Closed-open interval ``[start, end)`` of diffusion steps for one stage."""
+    """The half-open slice ``[start, end)`` of the schedule one stage owns."""
 
     start: int
     end: int
 
     def __post_init__(self) -> None:
         if self.start < 0 or self.end < 0:
-            raise ValueError("Step indices must be non-negative.")
+            raise ValueError(
+                f"negative step index in range [{self.start}, {self.end})"
+            )
         if self.end < self.start:
-            raise ValueError("Step range end must be >= start.")
+            raise ValueError(
+                f"inverted step range: end {self.end} precedes start {self.start}"
+            )
 
     @property
     def count(self) -> int:
-        """Number of steps in the range."""
+        """How many steps the slice covers."""
         return self.end - self.start
 
     def __iter__(self):
@@ -41,11 +48,13 @@ class StepRange:
 
 def _validate(total_steps: int, world_size: int, rank: int) -> None:
     if total_steps <= 0:
-        raise ValueError("total_steps must be positive.")
+        raise ValueError(f"total_steps needs to be >= 1, got {total_steps}")
     if world_size <= 0:
-        raise ValueError("world_size must be positive.")
+        raise ValueError(f"world_size needs to be >= 1, got {world_size}")
     if not 0 <= rank < world_size:
-        raise ValueError("rank must satisfy 0 <= rank < world_size.")
+        raise ValueError(
+            f"rank {rank} outside the valid range [0, {world_size})"
+        )
 
 
 def assign_steps(total_steps: int, world_size: int, rank: int) -> StepRange:
@@ -60,7 +69,10 @@ def assign_steps(total_steps: int, world_size: int, rank: int) -> StepRange:
     _validate(total_steps, world_size, rank)
     if total_steps % world_size != 0:
         raise ValueError(
-            "total_steps must be divisible by world_size for uniform step assignment."
+            f"uniform assignment needs total_steps ({total_steps}) divisible "
+            f"by world_size ({world_size}); pad the schedule "
+            "(EulerKarrasSchedule pad_to_multiple_of) or use "
+            "assign_steps_uneven for diagnostics"
         )
     steps_per_rank = total_steps // world_size
     start = rank * steps_per_rank
