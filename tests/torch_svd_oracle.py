@@ -517,3 +517,34 @@ def install_mock_diffusers():
     mod.EulerDiscreteScheduler = EulerDiscreteSchedulerOracle
     sys.modules["diffusers"] = mod
     return mod
+
+
+# ------------------------------------------------------------------ #
+# VAE mid-block attention (diffusers Attention inside the KL VAE /
+# TemporalDecoder mid block: single head, qkv WITH bias, residual add)
+# ------------------------------------------------------------------ #
+def sd_vae_attention(sd, p, c, gen):
+    sd_norm(sd, p + ".group_norm", c, gen)
+    sd_attention(sd, p, c, gen, qkv_bias=True)
+
+
+def vae_attention(sd, p, x, groups, eps=1e-6):
+    """x: (N, C, H, W) -> same; spatial self-attention over H*W tokens."""
+    n, c, hh, ww = x.shape
+    h = gn(sd, p + ".group_norm", x, groups, eps)
+    h = h.permute(0, 2, 3, 1).reshape(n, hh * ww, c)
+    h = attn(sd, p, h, None, 1)
+    return x + h.reshape(n, hh, ww, c).permute(0, 3, 1, 2)
+
+
+def sd_temporal_tblock(sd, p, c, cross, gen):
+    """Standalone TemporalBasicTransformerBlock state dict (the same key
+    layout sd_st_transformer emits for its temporal half)."""
+    sd_norm(sd, p + ".norm_in", c, gen)
+    sd_ff(sd, p + ".ff_in", c, gen)
+    sd_norm(sd, p + ".norm1", c, gen)
+    sd_attention(sd, p + ".attn1", c, gen)
+    sd_norm(sd, p + ".norm2", c, gen)
+    sd_attention(sd, p + ".attn2", c, gen, cross=cross)
+    sd_norm(sd, p + ".norm3", c, gen)
+    sd_ff(sd, p + ".ff", c, gen)
