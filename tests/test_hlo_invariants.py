@@ -164,3 +164,90 @@ def test_no_per_tick_collectives_beyond_the_ring(compiled_text):
     assert len(reduce_lines) <= 1
     for ln in reduce_lines:
         assert "while" not in ln, f"per-tick all-reduce: {ln[:200]}"
+
+
+# --------------------------------------------------------------------- #
+# Topology-planner comm census vs lowered StableHLO (round 4): the
+# planner's per-axis discounts must rest on pinned collective counts,
+# not prose (vdpp_tpu/parallel/topology.py svd_step_comm_census).
+# --------------------------------------------------------------------- #
+def _lowered_step_text(seq=None, frame=None, cfg_axis=None):
+    from jax.sharding import PartitionSpec as P
+
+    from vdpp_tpu.models.svd_unet import SVDUNetConfig
+    from vdpp_tpu.models.svd_wrapper import (
+        StableVideoUNet,
+        make_dummy_conditioning,
+    )
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4, cfg_mode="sequential")
+    params = jax.eval_shape(model.init, jax.random.key(0))
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 4, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    axes = {}
+    kw = {}
+    if seq:
+        axes["seq"] = seq
+        kw.update(seq_axis="seq", seq_shards=seq)
+    if frame:
+        axes["frame"] = frame
+        kw.update(frame_axis="frame", frame_shards=frame)
+    if cfg_axis:
+        axes["cfg"] = 2
+        kw.update(cfg_axis="cfg")
+    step = model.pipeline_step_fn(**kw)
+    mesh = make_axes_mesh(**axes)
+    fn = jax.jit(jax.shard_map(
+        lambda b, x: step(b, x, jnp.int32(0)),
+        mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False,
+    ))
+    x = jax.ShapeDtypeStruct((1, 4, 16, 16, 4), jnp.float32)
+    lowered = fn.lower((params, cond), x).as_text()
+    return lowered, params
+
+
+def _stablehlo_counts(text):
+    from vdpp_tpu.parallel.topology import CommCensus
+
+    return CommCensus(
+        collective_permute=text.count("stablehlo.collective_permute"),
+        all_gather=text.count("stablehlo.all_gather"),
+        all_reduce=text.count("stablehlo.all_reduce"),
+    )
+
+
+@pytest.mark.parametrize(
+    "axes_kw, census_kw",
+    [
+        ({"seq": 2}, {"seq": True}),
+        ({"frame": 2}, {"frame": True}),
+        ({"cfg_axis": True}, {"cfg_parallel": True}),
+    ],
+    ids=["seq", "frame", "cfg"],
+)
+def test_step_comm_census_matches_lowered_hlo(axes_kw, census_kw):
+    """The structural census (2 ppermutes per halo conv, 2 K/V gathers
+    per attention, 2 stat all-reduces per psum'd GroupNorm, 1 output
+    gather per forward, 1 CFG swap ppermute) must equal the lowered
+    StableHLO's collective counts EXACTLY — lowering happens before
+    XLA's combiners, so every site is still visible. This pins the
+    planner's per-axis comm terms to compiled-program facts."""
+    from vdpp_tpu.parallel.topology import (
+        count_unet_comm_sites,
+        svd_step_comm_census,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 CPU devices")
+    text, params = _lowered_step_text(**axes_kw)
+    got = _stablehlo_counts(text)
+    sites = count_unet_comm_sites(params)
+    # tiny config: 8 resblocks, 4 transformers, 4 standalone halo convs
+    assert sites == {"st_resblock": 8, "st_transformer": 4, "halo_conv": 4}
+    want = svd_step_comm_census(sites, **census_kw)
+    assert got == want, f"HLO {got} != census {want}"
+    assert "stablehlo.all_to_all" not in text

@@ -19,12 +19,120 @@ factors default to measured-order-of-magnitude values (halo exchanges
 and K/V gathers are a few percent of a step on ICI; the CFG ppermute is
 one latent). It ranks plans; it does not promise wall-clock numbers.
 `modes/production.py --auto-topology` applies the top plan.
+
+The COMM TERMS behind those factors are not free parameters: the
+per-axis collective counts each plan implies are derived structurally
+(``count_unet_comm_sites`` + ``svd_step_comm_census``) and pinned
+against the lowered StableHLO of the real model program in
+tests/test_hlo_invariants.py — per forward, a seq axis costs
+2 ppermutes per 3x3 conv, 2 K/V all-gathers per spatial attention,
+2 stat all-reduces per psum'd GroupNorm and 1 output gather; a frame
+axis costs 2 ppermutes per temporal conv, 2 K/V all-gathers per
+temporal attention, 2 all-reduces per temporal GroupNorm and 1 output
+gather; a cfg axis costs exactly 1 latent ppermute per step.
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CommCensus:
+    """Collective-op counts of ONE pipeline step (all UNet forwards)."""
+
+    collective_permute: int = 0
+    all_gather: int = 0
+    all_reduce: int = 0
+
+
+def count_unet_comm_sites(params) -> dict:
+    """Structural comm-site counts of an SVD UNet parameter tree.
+
+    Walks the real params (or an eval_shape of them), so the counts track
+    the architecture instead of hand-maintained constants:
+
+    * ``st_resblock`` — spatio-temporal resblocks (2 spatial 3x3 convs +
+      2 psum'd spatial norms + 2 temporal convs + 2 temporal norms each);
+    * ``st_transformer`` — spatio-temporal transformers (1 spatial attn,
+      1 temporal attn, 1 psum'd GroupNorm each);
+    * ``halo_conv`` — standalone 3x3 conv sites on the halo path
+      (conv_in, conv_out, every down/upsample conv).
+    """
+    counts = {"st_resblock": 0, "st_transformer": 0, "halo_conv": 0}
+
+    def rec(node) -> None:
+        if isinstance(node, dict):
+            if "spatial" in node and "temporal" in node:
+                counts["st_resblock"] += 1
+            if "time_pos_embed" in node and "proj_in" in node:
+                counts["st_transformer"] += 1
+            for k, v in node.items():
+                if k in ("conv_in", "conv_out", "downsample", "upsample"):
+                    counts["halo_conv"] += 1
+                rec(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                rec(v)
+
+    rec(params)
+    return counts
+
+
+def svd_step_comm_census(
+    sites: dict,
+    *,
+    seq: bool = False,
+    frame: bool = False,
+    cfg_parallel: bool = False,
+    guidance: bool = True,
+) -> CommCensus:
+    """Predicted collective counts of ONE compiled pipeline step.
+
+    Derivation (per UNet forward; every psum'd GroupNorm is two pmeans —
+    mean and variance — hence two all-reduces):
+
+    * seq axis: each 3x3 spatial conv halo-exchanges one edge column in
+      each direction (2 ppermutes; sites = 2 per resblock + the
+      standalone halo convs); spatial attention all-gathers K and V;
+      ALL GroupNorms psum their statistics over the W shard (2 per
+      spatial resnet + 2 per temporal resnet + 1 per transformer + the
+      head norm); the finished W shard is gathered once.
+    * frame axis: each temporal conv halo-exchanges one edge frame
+      (2 per resblock); temporal attention all-gathers K and V; only the
+      TEMPORAL norms (2 per resblock) span frames; one output gather.
+    * cfg axis: the uncond/cond branches run concurrently — one latent
+      ppermute per step swaps the results; the forward itself is
+      collective-free on this axis.
+
+    CFG sequential (``guidance`` and not ``cfg_parallel``) doubles the
+    per-forward counts.
+
+    Defined (and HLO-pinned) for SINGLE intra-sample axis configs — the
+    basis of the planner's per-axis discounts. Combined seq x frame
+    programs merge the temporal-norm reductions into joint-group
+    all-reduces, so the counts are not additive there.
+    """
+    n_res = sites["st_resblock"]
+    n_tr = sites["st_transformer"]
+    n_halo = sites["halo_conv"]
+    cp = ag = ar = 0
+    if seq:
+        cp += 2 * (2 * n_res + n_halo)
+        ag += 2 * n_tr + 1
+        ar += 2 * (4 * n_res + n_tr + 1)
+    if frame:
+        cp += 2 * (2 * n_res)
+        ag += 2 * n_tr + 1
+        ar += 2 * (2 * n_res)
+    forwards = 2 if (guidance and not cfg_parallel) else 1
+    cp *= forwards
+    ag *= forwards
+    ar *= forwards
+    if cfg_parallel:
+        cp += 1
+    return CommCensus(cp, ag, ar)
 
 
 @dataclass(frozen=True)
@@ -54,6 +162,17 @@ class TopologyPlan:
         if self.cfg > 1:
             out["cfg"] = self.cfg
         return out
+
+    def comm_census(self, sites: dict) -> "CommCensus":
+        """Per-step collective counts this plan implies for a model with
+        the given ``count_unet_comm_sites`` structure — the HLO-pinned
+        basis of the per-axis efficiency discounts (module docstring).
+        Combined seq x frame plans report the additive upper bound (the
+        compiled program merges temporal-norm reductions)."""
+        return svd_step_comm_census(
+            sites, seq=self.seq > 1, frame=self.frame > 1,
+            cfg_parallel=self.cfg > 1,
+        )
 
     def describe(self) -> str:
         ax = " x ".join(f"{k}={v}" for k, v in self.axes.items()) or "single-device"
