@@ -678,6 +678,24 @@ void encode_frame(const uint8_t* rgb, int h, int w, int quality,
     out.push_back(0xFF); out.push_back(0xD9);              // EOI
 }
 
+// Encode every frame to a standalone JFIF JPEG, striped across threads.
+std::vector<std::vector<uint8_t>> encode_parallel(const uint8_t* rgb, int f,
+                                                  int h, int w, int quality) {
+    std::vector<std::vector<uint8_t>> jpegs(f);
+    unsigned n_threads = std::max(1u, std::thread::hardware_concurrency());
+    n_threads = std::min<unsigned>(n_threads, static_cast<unsigned>(f));
+    std::vector<std::thread> ts;
+    std::size_t frame_px = static_cast<size_t>(h) * w * 3;
+    for (unsigned t = 0; t < n_threads; ++t)
+        ts.emplace_back([&, t] {
+            for (int i = static_cast<int>(t); i < f;
+                 i += static_cast<int>(n_threads))
+                encode_frame(rgb + frame_px * i, h, w, quality, jpegs[i]);
+        });
+    for (auto& th : ts) th.join();
+    return jpegs;
+}
+
 }  // namespace jpg
 
 namespace avi {
@@ -719,21 +737,8 @@ int vdpp_write_avi_mjpeg(const char* path, const uint8_t* rgb, int f, int h,
                          int w, int fps_num, int fps_den, int quality) {
     if (f <= 0 || h <= 0 || w <= 0 || fps_num <= 0 || fps_den <= 0) return 1;
 
-    std::vector<std::vector<uint8_t>> jpegs(f);
-    {
-        unsigned n_threads = std::max(1u, std::thread::hardware_concurrency());
-        n_threads = std::min<unsigned>(n_threads, static_cast<unsigned>(f));
-        std::vector<std::thread> ts;
-        std::size_t frame_px = static_cast<size_t>(h) * w * 3;
-        for (unsigned t = 0; t < n_threads; ++t)
-            ts.emplace_back([&, t] {
-                for (int i = static_cast<int>(t); i < f;
-                     i += static_cast<int>(n_threads))
-                    jpg::encode_frame(rgb + frame_px * i, h, w, quality,
-                                      jpegs[i]);
-            });
-        for (auto& th : ts) th.join();
-    }
+    std::vector<std::vector<uint8_t>> jpegs =
+        jpg::encode_parallel(rgb, f, h, w, quality);
 
     size_t max_jpeg = 0, total = 0;
     for (auto& j : jpegs) {
@@ -821,6 +826,271 @@ int vdpp_write_avi_mjpeg(const char* path, const uint8_t* rgb, int f, int h,
     out[riff_size_at + 1] = (riff_size >> 8) & 0xff;
     out[riff_size_at + 2] = (riff_size >> 16) & 0xff;
     out[riff_size_at + 3] = (riff_size >> 24) & 0xff;
+
+    FILE* fp = std::fopen(path, "wb");
+    if (!fp) return -1;
+    size_t written = std::fwrite(out.data(), 1, out.size(), fp);
+    std::fclose(fp);
+    return written == out.size() ? 0 : -2;
+}
+
+}  // extern "C"
+
+// --------------------- MJPEG-in-MP4 (ISO BMFF) muxer ----------------- //
+//
+// A true .mp4 container, completing the reference's literal MP4 output
+// contract (scripts/generate_video_demo.py:425-443 saves MP4 via
+// imageio/ffmpeg). Samples are the same baseline JPEGs as the AVI leg,
+// carried in an 'mp4v' track whose esds declares
+// objectTypeIndication 0x6C (ISO/IEC 10918-1 JPEG, per the MP4RA
+// registry) — ffmpeg/mpv/VLC map that OTI to their MJPEG decoder, so
+// the file plays without any re-encode.
+
+namespace mp4 {
+
+inline void u8(std::vector<uint8_t>& o, uint8_t v) { o.push_back(v); }
+inline void u16(std::vector<uint8_t>& o, uint16_t v) {
+    o.push_back(v >> 8); o.push_back(v & 0xff);
+}
+inline void u32(std::vector<uint8_t>& o, uint32_t v) {
+    o.push_back(v >> 24); o.push_back((v >> 16) & 0xff);
+    o.push_back((v >> 8) & 0xff); o.push_back(v & 0xff);
+}
+inline void tag(std::vector<uint8_t>& o, const char* s) {
+    o.insert(o.end(), s, s + 4);
+}
+
+// Explicit box framing: reserve a 32-bit size slot, patch on end().
+struct Box {
+    std::vector<uint8_t>& o;
+    size_t at;
+    Box(std::vector<uint8_t>& out, const char* type) : o(out), at(out.size()) {
+        u32(o, 0);
+        tag(o, type);
+    }
+    void end() const {
+        uint32_t sz = static_cast<uint32_t>(o.size() - at);
+        o[at] = sz >> 24; o[at + 1] = (sz >> 16) & 0xff;
+        o[at + 2] = (sz >> 8) & 0xff; o[at + 3] = sz & 0xff;
+    }
+};
+
+// Identity transform matrix (16.16 / 2.30 fixed point).
+inline void matrix(std::vector<uint8_t>& o) {
+    u32(o, 0x00010000); u32(o, 0); u32(o, 0);
+    u32(o, 0); u32(o, 0x00010000); u32(o, 0);
+    u32(o, 0); u32(o, 0); u32(o, 0x40000000);
+}
+
+}  // namespace mp4
+
+extern "C" {
+
+// (F, H, W, 3) uint8 frames -> ISO BMFF .mp4 with one all-keyframe
+// MJPEG video track (esds OTI 0x6C). Returns 0 on success.
+int vdpp_write_mp4_mjpeg(const char* path, const uint8_t* rgb, int f, int h,
+                         int w, int fps_num, int fps_den, int quality) {
+    if (f <= 0 || h <= 0 || w <= 0 || fps_num <= 0 || fps_den <= 0) return 1;
+
+    std::vector<std::vector<uint8_t>> jpegs =
+        jpg::encode_parallel(rgb, f, h, w, quality);
+
+    uint64_t payload = 0, max_jpeg = 0;
+    for (auto& j : jpegs) {
+        payload += j.size();
+        max_jpeg = std::max<uint64_t>(max_jpeg, j.size());
+    }
+    // stco/box sizes here are 32-bit; refuse instead of wrapping.
+    if (payload > 0xF0000000ull) return 3;
+
+    using mp4::u8; using mp4::u16; using mp4::u32; using mp4::tag;
+    using mp4::Box;
+    std::vector<uint8_t> out;
+    out.reserve(static_cast<size_t>(payload) + 4096);
+
+    {   // ftyp
+        Box b(out, "ftyp");
+        tag(out, "isom"); u32(out, 0x200);
+        tag(out, "isom"); tag(out, "iso2"); tag(out, "mp41");
+        b.end();
+    }
+
+    // mdat before moov: chunk offsets are absolute file offsets, and the
+    // whole file is assembled in one buffer, so buffer offset == file
+    // offset at the time each sample lands.
+    std::vector<uint32_t> offsets(f);
+    {
+        Box b(out, "mdat");
+        for (int i = 0; i < f; ++i) {
+            offsets[i] = static_cast<uint32_t>(out.size());
+            out.insert(out.end(), jpegs[i].begin(), jpegs[i].end());
+        }
+        b.end();
+    }
+
+    const uint32_t timescale = static_cast<uint32_t>(fps_num);
+    const uint32_t delta = static_cast<uint32_t>(fps_den);
+    const uint32_t duration = delta * static_cast<uint32_t>(f);
+    const uint32_t fps_round =
+        static_cast<uint32_t>((fps_num + fps_den - 1) / fps_den);
+    const uint32_t peak_bps =
+        static_cast<uint32_t>(std::min<uint64_t>(0xFFFFFFFFull,
+                                                 max_jpeg * 8 * fps_round));
+    const uint32_t avg_bps = static_cast<uint32_t>(std::min<uint64_t>(
+        0xFFFFFFFFull, payload / static_cast<uint64_t>(f) * 8 * fps_round));
+
+    Box moov(out, "moov");
+    {   // mvhd
+        Box b(out, "mvhd");
+        u32(out, 0);                       // version 0 + flags
+        u32(out, 0); u32(out, 0);          // creation / modification
+        u32(out, timescale);
+        u32(out, duration);
+        u32(out, 0x00010000);              // rate 1.0
+        u16(out, 0x0100);                  // volume 1.0
+        u16(out, 0); u32(out, 0); u32(out, 0);  // reserved
+        mp4::matrix(out);
+        for (int i = 0; i < 6; ++i) u32(out, 0);  // pre_defined
+        u32(out, 2);                       // next track id
+        b.end();
+    }
+    Box trak(out, "trak");
+    {   // tkhd: flags = enabled | in-movie
+        Box b(out, "tkhd");
+        u32(out, 0x000003);
+        u32(out, 0); u32(out, 0);
+        u32(out, 1);                       // track id
+        u32(out, 0);                       // reserved
+        u32(out, duration);
+        u32(out, 0); u32(out, 0);          // reserved
+        u16(out, 0); u16(out, 0);          // layer, alternate group
+        u16(out, 0); u16(out, 0);          // volume, reserved
+        mp4::matrix(out);
+        u32(out, static_cast<uint32_t>(w) << 16);
+        u32(out, static_cast<uint32_t>(h) << 16);
+        b.end();
+    }
+    Box mdia(out, "mdia");
+    {   // mdhd, language 'und'
+        Box b(out, "mdhd");
+        u32(out, 0);
+        u32(out, 0); u32(out, 0);
+        u32(out, timescale);
+        u32(out, duration);
+        u16(out, 0x55C4);
+        u16(out, 0);
+        b.end();
+    }
+    {   // hdlr
+        Box b(out, "hdlr");
+        u32(out, 0);
+        u32(out, 0);
+        tag(out, "vide");
+        u32(out, 0); u32(out, 0); u32(out, 0);
+        const char* name = "VideoHandler";
+        out.insert(out.end(), name, name + 13);  // incl. NUL
+        b.end();
+    }
+    Box minf(out, "minf");
+    {   // vmhd
+        Box b(out, "vmhd");
+        u32(out, 0x000001);
+        u16(out, 0);                       // graphics mode: copy
+        u16(out, 0); u16(out, 0); u16(out, 0);  // opcolor
+        b.end();
+    }
+    {   // dinf > dref > url (self-contained flag)
+        Box b(out, "dinf");
+        Box d(out, "dref");
+        u32(out, 0);
+        u32(out, 1);
+        Box u(out, "url ");
+        u32(out, 0x000001);
+        u.end();
+        d.end();
+        b.end();
+    }
+    Box stbl(out, "stbl");
+    {   // stsd > mp4v > esds
+        Box b(out, "stsd");
+        u32(out, 0);
+        u32(out, 1);
+        Box v(out, "mp4v");
+        for (int i = 0; i < 6; ++i) u8(out, 0);  // reserved
+        u16(out, 1);                             // data ref index
+        u16(out, 0); u16(out, 0);                // pre_defined, reserved
+        u32(out, 0); u32(out, 0); u32(out, 0);   // pre_defined
+        u16(out, static_cast<uint16_t>(w));
+        u16(out, static_cast<uint16_t>(h));
+        u32(out, 0x00480000);                    // 72 dpi horizontal
+        u32(out, 0x00480000);                    // 72 dpi vertical
+        u32(out, 0);                             // reserved
+        u16(out, 1);                             // frames per sample
+        u8(out, 10);                             // compressor name (pascal)
+        const char* cname = "vdpp mjpeg";
+        out.insert(out.end(), cname, cname + 10);
+        for (int i = 0; i < 21; ++i) u8(out, 0); // pad name field to 32
+        u16(out, 24);                            // depth
+        u16(out, 0xFFFF);                        // pre_defined -1
+        {
+            Box e(out, "esds");
+            u32(out, 0);
+            // ES_Descriptor: 3 bytes own payload + DCD(15) + SLConfig(3)
+            u8(out, 0x03); u8(out, 21);
+            u16(out, 1);                         // ES_ID
+            u8(out, 0);                          // no deps/URL/OCR
+            // DecoderConfigDescriptor: OTI 0x6C = JPEG (ISO 10918-1)
+            u8(out, 0x04); u8(out, 13);
+            u8(out, 0x6C);
+            u8(out, 0x11);                       // visual stream
+            u8(out, static_cast<uint8_t>((max_jpeg >> 16) & 0xff));
+            u8(out, static_cast<uint8_t>((max_jpeg >> 8) & 0xff));
+            u8(out, static_cast<uint8_t>(max_jpeg & 0xff));
+            u32(out, peak_bps);
+            u32(out, avg_bps);
+            // SLConfigDescriptor: predefined 2 (MP4 file)
+            u8(out, 0x06); u8(out, 1); u8(out, 0x02);
+            e.end();
+        }
+        v.end();
+        b.end();
+    }
+    {   // stts: every sample lasts `delta` ticks
+        Box b(out, "stts");
+        u32(out, 0);
+        u32(out, 1);
+        u32(out, static_cast<uint32_t>(f));
+        u32(out, delta);
+        b.end();
+    }
+    {   // stsc: one sample per chunk
+        Box b(out, "stsc");
+        u32(out, 0);
+        u32(out, 1);
+        u32(out, 1); u32(out, 1); u32(out, 1);
+        b.end();
+    }
+    {   // stsz: per-sample sizes
+        Box b(out, "stsz");
+        u32(out, 0);
+        u32(out, 0);
+        u32(out, static_cast<uint32_t>(f));
+        for (int i = 0; i < f; ++i)
+            u32(out, static_cast<uint32_t>(jpegs[i].size()));
+        b.end();
+    }
+    {   // stco: absolute chunk offsets (no stss box: all sync samples)
+        Box b(out, "stco");
+        u32(out, 0);
+        u32(out, static_cast<uint32_t>(f));
+        for (int i = 0; i < f; ++i) u32(out, offsets[i]);
+        b.end();
+    }
+    stbl.end();
+    minf.end();
+    mdia.end();
+    trak.end();
+    moov.end();
 
     FILE* fp = std::fopen(path, "wb");
     if (!fp) return -1;

@@ -155,14 +155,69 @@ def test_native_avi_mjpeg_structure_and_frames(tmp_path):
         assert 10 * np.log10(255.0 ** 2 / mse) > 38.0
 
 
-def test_save_video_mp4_falls_back_to_playable_avi(tmp_path):
-    """Without an ffmpeg backend, save_video_mp4 must deliver a PLAYABLE
-    compressed container (MJPEG-AVI) plus the lossless Y4M alongside."""
+def test_native_mp4_structure_and_frames(tmp_path):
+    """ISO BMFF structure: ftyp/mdat/moov box tree with consistent sizes,
+    an esds declaring OTI 0x6C (JPEG), stsz/stco tables locating one
+    sample per frame — and every located sample decodes with PIL back to
+    its source frame."""
+    import io
+    import struct
+
+    from vdpp_tpu.utils.native import write_mp4_mjpeg
+
+    frames = _smooth_frames(4, 64, 80)
+    path = str(tmp_path / "v.mp4")
+    if write_mp4_mjpeg(path, frames, fps=7, quality=90) is None:
+        pytest.skip("native library unavailable")
+    data = open(path, "rb").read()
+
+    # top-level box walk must tile the file exactly
+    tops = {}
+    pos = 0
+    while pos < len(data):
+        size, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        tops[typ] = (pos, size)
+        pos += size
+    assert pos == len(data)
+    assert set(tops) == {b"ftyp", b"mdat", b"moov"}
+    assert data[tops[b"ftyp"][0] + 8:tops[b"ftyp"][0] + 12] == b"isom"
+
+    # esds: mp4v sample entry declares MJPEG via objectTypeIndication
+    esds = data.index(b"esds")
+    assert data[esds + 8:esds + 10] == b"\x03\x15"  # ES_Descriptor len 21
+    assert data[esds + 13:esds + 16] == b"\x04\x0d\x6c"  # DCD, OTI 0x6C
+
+    # sample tables locate one decodable JPEG per frame
+    i = data.index(b"stsz")
+    n = struct.unpack(">I", data[i + 12:i + 16])[0]
+    sizes = struct.unpack(f">{n}I", data[i + 16:i + 16 + 4 * n])
+    i = data.index(b"stco")
+    n2 = struct.unpack(">I", data[i + 8:i + 12])[0]
+    offsets = struct.unpack(f">{n2}I", data[i + 12:i + 12 + 4 * n2])
+    assert n == n2 == len(frames)
+
+    from PIL import Image
+
+    for k in range(n):
+        j = data[offsets[k]:offsets[k] + sizes[k]]
+        assert j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
+        dec = np.asarray(Image.open(io.BytesIO(j)).convert("RGB"), np.float64)
+        mse = ((dec - frames[k].astype(np.float64)) ** 2).mean()
+        assert 10 * np.log10(255.0 ** 2 / mse) > 38.0
+
+
+def test_save_video_mp4_native_fallback_is_playable(tmp_path):
+    """Without an ffmpeg backend, save_video_mp4 must still deliver a
+    PLAYABLE compressed container — the native MJPEG-in-MP4 when the
+    library is present (plus the lossless Y4M alongside), AVI next."""
     from vdpp_tpu.utils.video_io import save_video_mp4
 
     frames = _smooth_frames(2, 32, 48)
     out = save_video_mp4(frames, str(tmp_path / "v.mp4"), fps=7)
     assert os.path.exists(out)
-    if out.endswith(".avi"):  # native path taken
-        assert open(out, "rb").read(4) == b"RIFF"
+    head = open(out, "rb").read(12)
+    if out.endswith(".mp4") and head[4:8] == b"ftyp":  # native MP4 taken
+        assert os.path.exists(str(tmp_path / "v.y4m"))
+    elif out.endswith(".avi"):
+        assert head[:4] == b"RIFF"
         assert os.path.exists(str(tmp_path / "v.y4m"))

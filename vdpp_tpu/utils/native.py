@@ -67,6 +67,13 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ]
+            if hasattr(lib, "vdpp_write_mp4_mjpeg"):
+                lib.vdpp_write_mp4_mjpeg.restype = ctypes.c_int
+                lib.vdpp_write_mp4_mjpeg.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
             if hasattr(lib, "vdpp_write_jpeg"):
                 lib.vdpp_write_jpeg.restype = ctypes.c_int
                 lib.vdpp_write_jpeg.argtypes = [
@@ -143,6 +150,33 @@ def write_avi_mjpeg(
     )
     if rc != 0:
         LOGGER.warning("native avi writer failed rc=%d", rc)
+        return None
+    return path
+
+
+def write_mp4_mjpeg(
+    path: str, frames_uint8: np.ndarray, fps: int = 7, quality: int = 90
+) -> str | None:
+    """Write (F, H, W, 3) uint8 frames as a true ISO BMFF ``.mp4``: one
+    all-keyframe MJPEG track (esds objectTypeIndication 0x6C = ISO/IEC
+    10918-1 JPEG) whose samples are baseline JFIF JPEGs encoded in
+    parallel C++ threads — ffmpeg/mpv/VLC decode it natively. Completes
+    the reference's literal MP4 output leg
+    (reference: scripts/generate_video_demo.py:425-443) with zero
+    Python-side dependencies. Returns None when the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vdpp_write_mp4_mjpeg"):
+        return None
+    frames_uint8 = np.ascontiguousarray(frames_uint8, np.uint8)
+    f, h, w, _ = frames_uint8.shape
+    rc = lib.vdpp_write_mp4_mjpeg(
+        path.encode(),
+        frames_uint8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        f, h, w, int(fps), 1, int(quality),
+    )
+    if rc != 0:
+        LOGGER.warning("native mp4 writer failed rc=%d", rc)
         return None
     return path
 

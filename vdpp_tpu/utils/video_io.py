@@ -52,9 +52,10 @@ def _try_write_y4m(path: str, frames_uint8: np.ndarray, fps: int) -> str | None:
 
 def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
     """Write (F, H, W, 3) uint8 frames as the best available PLAYABLE
-    container: MP4 when an ffmpeg backend exists; else MJPEG-AVI (native
-    C++ baseline-JPEG encoder — playable everywhere, no dependencies)
-    plus a lossless Y4M alongside; else Y4M; else GIF."""
+    container: H.264 MP4 when an ffmpeg backend exists; else a native
+    MJPEG-in-MP4 (ISO BMFF, C++ baseline-JPEG samples — a real ``.mp4``,
+    no dependencies) plus a lossless Y4M alongside; else MJPEG-AVI; else
+    Y4M; else GIF."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import imageio.v3 as iio
@@ -63,17 +64,24 @@ def save_video_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
         LOGGER.info("wrote %s (%d frames)", path, len(frames_uint8))
         return path
     except Exception as e:  # pragma: no cover - backend-dependent
-        LOGGER.warning("mp4 write failed (%s); falling back to avi", e)
-        from vdpp_tpu.utils.native import write_avi_mjpeg
+        LOGGER.warning("mp4 write failed (%s); native fallback", e)
+        from vdpp_tpu.utils.native import write_avi_mjpeg, write_mp4_mjpeg
 
+        if write_mp4_mjpeg(path, frames_uint8, fps=fps):
+            LOGGER.info(
+                "wrote %s (%d frames, native MJPEG-in-MP4)", path,
+                len(frames_uint8),
+            )
+            # keep the LOSSLESS leg alongside the playable one (JPEG is
+            # lossy; y4m converts losslessly to mp4 on any ffmpeg host)
+            _try_write_y4m(path, frames_uint8, fps)
+            return path
         avi_path = os.path.splitext(path)[0] + ".avi"
         if write_avi_mjpeg(avi_path, frames_uint8, fps=fps):
             LOGGER.info(
                 "wrote %s (%d frames, native MJPEG)", avi_path,
                 len(frames_uint8),
             )
-            # keep the LOSSLESS leg alongside the playable one (JPEG is
-            # lossy; y4m converts losslessly to mp4 on any ffmpeg host)
             _try_write_y4m(path, frames_uint8, fps)
             return avi_path
         y4m_path = _try_write_y4m(path, frames_uint8, fps)
