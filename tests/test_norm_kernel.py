@@ -96,6 +96,43 @@ def test_fused_gn_welford_stability_large_offset():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_unet_matches_unfused():
+    """cfg.fused_groupnorm routes every GN->SiLU pair in the SVD UNet
+    through the kernel; the full forward must match the XLA composition
+    (fp32 tiny config: only Welford merge-order noise)."""
+    import dataclasses
+
+    from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
+
+    cfg = SVDUNetConfig.tiny()
+    unet = SVDUNet(cfg)
+    params = unet.init(jax.random.key(0))
+    b, f, h, w = 1, 3, 16, 16
+    x = jax.random.normal(jax.random.key(2), (b, f, h, w, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(3), (b, 1, cfg.cross_attention_dim))
+    tids = jnp.zeros((b, 3))
+    ref = unet.apply(params, x, jnp.float32(1.0), ctx, tids)
+
+    fused_unet = SVDUNet(dataclasses.replace(cfg, fused_groupnorm=True))
+    got = fused_unet.apply(params, x, jnp.float32(1.0), ctx, tids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_silu_dispatch_fallbacks():
+    """The dispatch helper silently keeps the XLA composition for sharded
+    statistics and non-8-aligned rows, so callers never shape-case."""
+    from vdpp_tpu.ops.normalization import group_norm_silu
+
+    p = _params(64)
+    # 12 rows: no 8-aligned divisor -> must NOT raise, takes unfused path.
+    x = jax.random.normal(jax.random.key(5), (2, 12, 64))
+    ref = jax.nn.silu(group_norm(x, p, 8, 1e-6).astype(jnp.float32))
+    got = group_norm_silu(x, p, 8, 1e-6, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_row_chunk_picker():
     # 9216 rows x 320 ch fp32: full row is ~11.8 MB, must chunk
     ch = _row_chunk(9216, 320)

@@ -51,6 +51,7 @@ from vdpp_tpu.ops.embeddings import init_timestep_mlp, sinusoidal_embedding, tim
 from vdpp_tpu.ops.linear import geglu_ff, init_geglu_ff, init_linear, linear
 from vdpp_tpu.ops.normalization import (
     group_norm,
+    group_norm_silu,
     init_group_norm,
     init_layer_norm,
     layer_norm,
@@ -80,6 +81,12 @@ class SVDUNetConfig:
     transformer_eps: float = 1e-6
     out_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    # Route GroupNorm->SiLU pairs through the fused Pallas kernel
+    # (ops/norm_kernel.py) where it applies (unsharded statistics only;
+    # sharded/odd-shaped sites silently keep the XLA composition).
+    # Construction-time flag, NOT an env read inside the traced body
+    # (CLAUDE.md trace-time-binding discipline).
+    fused_groupnorm: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -150,15 +157,13 @@ def _spatial_resnet(
         if seq_axis else
         (lambda h, pp: conv2d(h, pp, amax_axes=amax_axes))
     )
-    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
-                   psum_axis=seq_axis)
-    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = group_norm_silu(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
+                        psum_axis=seq_axis, fused=cfg.fused_groupnorm)
     h = c3(h, p["conv1"])
     temb = linear(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype), p["time_emb_proj"])
     h = h + temb[:, None, None, :]
-    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
-                   psum_axis=seq_axis)
-    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = group_norm_silu(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
+                        psum_axis=seq_axis, fused=cfg.fused_groupnorm)
     h = c3(h, p["conv2"])
     shortcut = (
         conv2d(x, p["conv_shortcut"], amax_axes=amax_axes)
@@ -193,17 +198,15 @@ def _temporal_resnet(
         (lambda h, pp: conv_temporal_halo(h, pp, frame_axis))
         if frame_axis is not None else conv_temporal
     )
-    h = group_norm(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
-                   psum_axis=psum)
-    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = group_norm_silu(x, p["norm1"], cfg.norm_num_groups, cfg.resnet_eps,
+                        psum_axis=psum, fused=cfg.fused_groupnorm)
     h = ct(h, p["conv1"])
     temb = linear(
         jax.nn.silu(emb_bf.astype(jnp.float32)).astype(emb_bf.dtype), p["time_emb_proj"]
     )
     h = h + temb[:, :, None, None, :]
-    h = group_norm(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
-                   psum_axis=psum)
-    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = group_norm_silu(h, p["norm2"], cfg.norm_num_groups, cfg.resnet_eps,
+                        psum_axis=psum, fused=cfg.fused_groupnorm)
     h = ct(h, p["conv2"])
     return x + h
 
@@ -633,9 +636,9 @@ class SVDUNet:
                 x = c3(x, block["upsample"])
 
         # --- head ---
-        x = group_norm(x, params["conv_norm_out"], cfg.norm_num_groups,
-                       cfg.out_norm_eps, psum_axis=seq_axis)
-        x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+        x = group_norm_silu(x, params["conv_norm_out"], cfg.norm_num_groups,
+                            cfg.out_norm_eps, psum_axis=seq_axis,
+                            fused=cfg.fused_groupnorm)
         x = c3(x, params["conv_out"])
         if seq_axis is not None:
             x = jax.lax.all_gather(x, seq_axis, axis=2, tiled=True)

@@ -155,6 +155,16 @@ class StableVideoUNet:
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
         self.config = config or SVDUNetConfig.svd_xt()
+        # VDPP_GN_FUSED=1 routes GroupNorm->SiLU pairs through the fused
+        # Pallas kernel. Read at CONSTRUCTION (same discipline as
+        # VDPP_MOE_DISPATCH, CLAUDE.md): flipping the env after the wrapper
+        # exists would be silently pinned by the jit cache otherwise.
+        import os as _os
+
+        if config is None and _os.environ.get("VDPP_GN_FUSED") == "1":
+            import dataclasses as _dc
+
+            self.config = _dc.replace(self.config, fused_groupnorm=True)
         self.unet = SVDUNet(self.config)
         # pad_steps_to: run a non-divisible schedule on S stages by
         # prepending exact-identity steps (see EulerKarrasSchedule.create).

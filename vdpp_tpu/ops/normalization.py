@@ -70,6 +70,39 @@ def group_norm(
     return out.astype(orig_dtype)
 
 
+def group_norm_silu(
+    x: jax.Array,
+    params: dict,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    psum_axis: str | tuple[str, ...] | None = None,
+    fused: bool = False,
+) -> jax.Array:
+    """``silu(group_norm(x))`` with an optional fused-Pallas fast path.
+
+    ``fused=True`` routes through ``ops.norm_kernel.group_norm_silu_fused``
+    (one stats pass + one normalize pass instead of XLA's four HBM passes)
+    whenever the kernel supports the case: unsharded statistics
+    (``psum_axis is None`` — the kernel reduces locally only) and a row
+    extent with an 8-aligned chunking (``_row_chunk``). Anything else
+    silently takes the unfused composition, so callers can thread a single
+    construction-time flag without shape-casing. Numerics: the fused path
+    applies SiLU to the fp32 normalized value before the output rounding,
+    so results can differ from the composition by one output-dtype ULP
+    (tests/test_norm_kernel.py pins the bound).
+    """
+    if fused and psum_axis is None:
+        from vdpp_tpu.ops.norm_kernel import _row_chunk, group_norm_silu_fused
+
+        rows = 1
+        for d in x.shape[1:-1]:
+            rows *= d
+        if x.shape[-1] % num_groups == 0 and _row_chunk(rows, x.shape[-1]):
+            return group_norm_silu_fused(x, params, num_groups, eps, silu=True)
+    h = group_norm(x, params, num_groups, eps, psum_axis=psum_axis)
+    return jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+
+
 def init_rms_norm(dim: int, dtype=jnp.float32) -> dict:
     return {"scale": jnp.ones((dim,), dtype)}
 
