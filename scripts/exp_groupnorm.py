@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--no-silu", action="store_true",
                     help="measure bare GroupNorm instead of GN+SiLU")
     args = ap.parse_args()
+    if args.reps < 2:
+        ap.error("--reps must be >= 2 (rep 0 is consumed as compile+first)")
 
     import jax
 

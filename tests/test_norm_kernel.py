@@ -133,6 +133,29 @@ def test_group_norm_silu_dispatch_fallbacks():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_fused_rejects_intra_sample_sharding():
+    """fused_groupnorm x seq/frame axes would silently break the
+    sharded-equals-unsharded elementwise invariant (psum sites fall back
+    to two-pass stats while the oracle takes the Welford kernel), so
+    apply() must reject the combination up front."""
+    import dataclasses
+
+    import pytest
+
+    from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
+
+    cfg = dataclasses.replace(SVDUNetConfig.tiny(), fused_groupnorm=True)
+    unet = SVDUNet(cfg)
+    params = unet.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(2), (1, 2, 16, 16, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(3), (1, 1, cfg.cross_attention_dim))
+    tids = jnp.zeros((1, 3))
+    with pytest.raises(ValueError, match="fused_groupnorm is incompatible"):
+        unet.apply(params, x, jnp.float32(1.0), ctx, tids, seq_axis="seq")
+    with pytest.raises(ValueError, match="fused_groupnorm is incompatible"):
+        unet.apply(params, x, jnp.float32(1.0), ctx, tids, frame_axis="frame")
+
+
 def test_row_chunk_picker():
     # 9216 rows x 320 ch fp32: full row is ~11.8 MB, must chunk
     ch = _row_chunk(9216, 320)

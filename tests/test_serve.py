@@ -224,6 +224,25 @@ def test_generate_on_frame_parallel_mesh(server_frame_parallel):
     assert r.status == 200 and body.startswith(b"GIF8")
 
 
+def test_out_of_range_num_frames_is_a_400(server):
+    """num_frames outside [1, MAX_FRAMES_PER_REQUEST] must be a 400 from
+    the decode block, not a deep trace-time ValueError misreported as a
+    500 (code-review finding: narrowing 400s to BadRequest dropped the
+    implicit bounds rejection)."""
+    for bad in (0, -3, 10_000):
+        req = urllib.request.Request(
+            server + "/generate",
+            data=json.dumps({"seed": 1, "num_frames": bad}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            _open(req, timeout=60)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised, f"num_frames={bad} not rejected as 400"
+
+
 def test_indivisible_num_frames_is_a_400(server_frame_parallel):
     """A per-request num_frames that does not divide by --frame-parallel
     must be rejected as a 400 BEFORE tracing — a trace-time failure would

@@ -72,21 +72,32 @@ def test_build_output_name_selfdescribing():
         assert token in name
 
 
-def test_bench_backend_retry_reexecs_on_init_failure(monkeypatch):
-    """bench.py's _init_backend_with_retry: a raising backend init must
-    re-exec the script with the attempt counter bumped (JAX memoizes a
-    failed init, so an in-process retry cannot recover); the 6th attempt
-    re-raises."""
+def _load_bench_module():
     import importlib.util
     import os
-    import sys
 
     spec = importlib.util.spec_from_file_location(
         "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    return bench
 
+
+def test_bench_backend_retry_reexecs_on_init_failure(monkeypatch):
+    """bench.py's _init_backend_with_retry, watchdogged form: after the
+    subprocess probe says the tunnel is up, an in-process init failure
+    must re-exec with the attempt counter bumped (JAX memoizes a failed
+    init, so an in-process retry cannot recover); past the attempt cap it
+    emits the parseable failure line and exits nonzero. The probe is
+    stubbed — a real one would spawn a child against the pinned axon
+    platform and hang the suite on a dead tunnel."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    bench = _load_bench_module()
     calls = {}
 
     def fake_devices():
@@ -95,6 +106,7 @@ def test_bench_backend_retry_reexecs_on_init_failure(monkeypatch):
     def fake_execv(exe, argv):
         calls["execv"] = (exe, list(argv))
 
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: (True, "axon"))
     monkeypatch.setattr(bench.jax, "devices", fake_devices)
     monkeypatch.setattr(bench.os, "execv", fake_execv)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
@@ -105,7 +117,32 @@ def test_bench_backend_retry_reexecs_on_init_failure(monkeypatch):
     assert os.environ["VDPP_BENCH_INIT_ATTEMPT"] == "1"
 
     monkeypatch.setenv("VDPP_BENCH_INIT_ATTEMPT", "5")
+    with _pytest.raises(SystemExit):
+        bench._init_backend_with_retry()
+
+
+def test_bench_dead_tunnel_fast_fails_with_parseable_json(monkeypatch, capsys):
+    """A tunnel that never answers the probe must yield the NOT-MEASURED
+    failure JSON within the init deadline instead of a driver timeout
+    (round-3 BENCH artifact was rc=124; VERDICT r3 #2)."""
+    import json
+
     import pytest as _pytest
 
-    with _pytest.raises(RuntimeError, match="axon"):
+    bench = _load_bench_module()
+    monkeypatch.setattr(
+        bench, "_probe_backend", lambda t: (False, "backend init exceeded")
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # Zero budget: the first failed probe is already past the deadline.
+    monkeypatch.setenv("VDPP_BENCH_INIT_DEADLINE_S", "0")
+    with _pytest.raises(SystemExit):
         bench._init_backend_with_retry()
+    line = next(
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.lstrip().startswith("{")
+    )
+    payload = json.loads(line)
+    assert payload["vs_baseline"] == 0.0
+    assert "NOT MEASURED" in payload["metric"]
+    assert "error" in payload

@@ -545,6 +545,18 @@ class SVDUNet:
             raise ValueError(
                 f"frame count {f} not divisible by frame_shards {frame_shards}"
             )
+        if cfg.fused_groupnorm and (seq_axis is not None or frame_axis is not None):
+            # Sharded-statistics sites fall back to the two-pass psum
+            # composition while the unsharded program takes the Welford
+            # kernel, so the two programs would no longer be elementwise
+            # equal (the design invariant every seq/frame test asserts).
+            # Reject loudly instead of diverging silently — same policy as
+            # w8a8 x sharding before mesh-global amax landed (ADVICE r3).
+            raise ValueError(
+                "fused_groupnorm is incompatible with seq/frame sharding: "
+                "construct the UNet with fused_groupnorm=False (or unset "
+                "VDPP_GN_FUSED) for intra-sample-parallel runs"
+            )
         amax_axes = tuple(a for a in (seq_axis, frame_axis) if a is not None)
         c3 = (
             # halo form supplies its own W handling; `padding` (always the

@@ -161,7 +161,7 @@ class StableVideoUNet:
         # exists would be silently pinned by the jit cache otherwise.
         import os as _os
 
-        if config is None and _os.environ.get("VDPP_GN_FUSED") == "1":
+        if _os.environ.get("VDPP_GN_FUSED") == "1":
             import dataclasses as _dc
 
             self.config = _dc.replace(self.config, fused_groupnorm=True)

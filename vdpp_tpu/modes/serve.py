@@ -40,6 +40,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 LOGGER = logging.getLogger("vdpp.serve")
 
+# Per-request frame ceiling: each distinct num_frames traces its own
+# stream (LRU-capped), so an unbounded value would both OOM a trace and
+# let one client churn the stream cache. 64 covers svd-xt (25) and every
+# preset with headroom.
+MAX_FRAMES_PER_REQUEST = 64
+
 
 class BadRequest(ValueError):
     """Client-input validation failure -> HTTP 400.
@@ -378,6 +384,11 @@ def _make_handler(engine: _Engine, fps: int):
                     req = json.loads(self.rfile.read(n) or b"{}")
                     seed = int(req.get("seed", 0))
                     frames = int(req.get("num_frames", engine.args.num_frames))
+                    if not 1 <= frames <= MAX_FRAMES_PER_REQUEST:
+                        raise BadRequest(
+                            f"num_frames {frames} out of range "
+                            f"[1, {MAX_FRAMES_PER_REQUEST}]"
+                        )
                     guidance = req.get("guidance_scale",
                                        engine.args.guidance_scale)
                     if guidance is not None:

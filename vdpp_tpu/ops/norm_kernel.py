@@ -164,7 +164,13 @@ def group_norm_silu_fused(
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+        # p*j pins every phase-0 step to block (i, 0): the block index only
+        # advances during phase 1, so Pallas copies each output window out
+        # exactly once (a phase-oblivious (i, j) map would flush the
+        # never-written buffer once per stats chunk — write traffic x2).
+        # The phase-0-resident (i, 0) buffer is overwritten by phase 1's
+        # j=0 step before its first flush, so no garbage ever lands.
+        out_specs=pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, p * j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
         scratch_shapes=[
             # rows 0/1 = running Welford (mean, M2); persists across the
