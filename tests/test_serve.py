@@ -20,7 +20,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_server(extra_args, label="server", device_count=4):
+def _launch_server(extra_args, label="server", device_count=4,
+                   yield_proc=False):
     """Start a serve subprocess, poll /healthz to warm-up (skip on slow
     hosts), yield the base URL, kill on teardown — the one copy of the
     launch/poll/skip machinery every server fixture shares."""
@@ -52,9 +53,13 @@ def _launch_server(extra_args, label="server", device_count=4):
     else:
         proc.kill()
         pytest.skip(f"{label} warm-up exceeded deadline on this host")
-    yield base
-    proc.kill()
-    proc.wait(timeout=30)
+    if yield_proc:
+        yield base, proc
+    else:
+        yield base
+    if proc.poll() is None:
+        proc.kill()
+        proc.wait(timeout=30)
 
 
 @pytest.fixture(scope="module")
@@ -258,3 +263,47 @@ def test_indivisible_num_frames_is_a_400(server_frame_parallel):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+@pytest.fixture()
+def drain_server():
+    # Dedicated (function-scoped) server: this test terminates it, so it
+    # must not share the module-scoped fixture.
+    yield from _launch_server(
+        ["--num-stages", "2"], label="drain-server", yield_proc=True
+    )
+
+
+def test_sigterm_drains_and_exits_zero(drain_server):
+    """Rolling-restart contract: SIGTERM flips /healthz to 503 (load
+    balancers stop routing), an in-flight /generate still completes with
+    200, and the process exits 0 after draining."""
+    import signal
+    import threading
+
+    base, proc = drain_server
+    results = {}
+
+    def fetch():
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"seed": 7, "format": "gif"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results["status"] = r.status
+                results["body"] = r.read()[:6]
+        except Exception as e:  # recorded for the main-thread assert
+            results["error"] = repr(e)
+
+    t = threading.Thread(target=fetch)
+    t.start()
+    time.sleep(1.0)  # let the request be accepted into a handler thread
+    proc.send_signal(signal.SIGTERM)
+    t.join(timeout=300)
+    assert not t.is_alive(), "in-flight request never returned"
+    assert results.get("status") == 200, results
+    assert results["body"] in (b"GIF87a", b"GIF89a")
+    # The drained server must exit cleanly (0) on its own.
+    assert proc.wait(timeout=120) == 0

@@ -13,8 +13,15 @@ never queue behind decode work on the stage devices.
     POST /generate  {"seed": 42, "num_frames": 4, "guidance_scale": 3.0,
                      "prompt": "...", "format": "y4m"|"gif"}
         -> video bytes (y4m/gif via the native C++ packer)
-    GET  /healthz   -> {"status": "ok", ...}
+    GET  /healthz   -> {"status": "ok", ...} (503 {"status": "draining"}
+                       once a shutdown signal has been received)
     GET  /metrics   -> request counters + rolling latency distribution
+
+SIGTERM/SIGINT drain instead of kill (rolling-restart contract):
+/healthz flips to 503 so load balancers stop routing, new /generate
+requests are refused with 503, in-flight requests run to completion,
+then the process exits 0 (tests/test_serve.py::
+test_sigterm_drains_and_exits_zero).
 
 ``--model svd`` (default) serves the image-conditioned SVD UNet;
 ``--model dit3d`` serves the T5-text-conditioned joint-3D DiT — the
@@ -103,6 +110,10 @@ class _Engine:
         self.jax = jax
         self.jnp = jnp
         self.args = args
+        # Flipped by the SIGTERM/SIGINT drain handler: /healthz turns 503
+        # so load balancers stop routing here, new /generate requests are
+        # refused, in-flight ones finish (rolling-restart contract).
+        self.draining = False
         tiny = args.preset == "tiny"
         self.is_dit = args.model == "dit3d"
         # Pure-argument validation BEFORE any model construction or
@@ -360,6 +371,9 @@ def _make_handler(engine: _Engine, fps: int):
 
         def do_GET(self):
             if self.path == "/healthz":
+                if engine.draining:
+                    self._json(503, {"status": "draining"})
+                    return
                 self._json(200, {
                     "status": "ok",
                     "stages": engine.stages,
@@ -375,6 +389,9 @@ def _make_handler(engine: _Engine, fps: int):
         def do_POST(self):
             if self.path != "/generate":
                 self._json(404, {"error": "unknown path"})
+                return
+            if engine.draining:
+                self._json(503, {"error": "server is draining"})
                 return
             try:
                 try:
@@ -440,6 +457,16 @@ def _make_handler(engine: _Engine, fps: int):
     return Handler
 
 
+class _DrainingServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that DRAINS on shutdown: request threads are
+    non-daemon and ``server_close()`` joins them, so a SIGTERM rolling
+    restart never kills a half-generated video (the stock class abandons
+    in-flight threads at interpreter exit)."""
+
+    daemon_threads = False
+    block_on_close = True
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -459,11 +486,31 @@ def main(argv=None) -> int:
     engine.generate(0, args.num_frames, args.guidance_scale)
     LOGGER.info("warmed; serving on http://%s:%d", args.host, args.port)
 
-    server = ThreadingHTTPServer((args.host, args.port), _make_handler(engine, args.fps))
+    server = _DrainingServer(
+        (args.host, args.port), _make_handler(engine, args.fps)
+    )
+
+    def _drain(signum, frame):
+        # Handler context: only set flags and hand off — shutdown() must
+        # run on another thread (it joins serve_forever's loop).
+        engine.draining = True
+        LOGGER.info(
+            "signal %d: draining — healthz 503, new requests refused, "
+            "in-flight requests finishing", signum,
+        )
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         LOGGER.info("shutting down")
+    # Joins in-flight handler threads (block_on_close + non-daemon).
+    server.server_close()
+    LOGGER.info("drained; exiting")
     return 0
 
 
