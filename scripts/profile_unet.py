@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--h", type=int, default=72)
     ap.add_argument("--w", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fused-gn", action="store_true",
+                    help="route every GroupNorm->SiLU pair through the "
+                         "fused Pallas kernel (ops/norm_kernel.py) for the "
+                         "e2e forward A/B")
     ap.add_argument(
         "--variants",
         default="full_pallas,full_xla,full_naive",
@@ -49,6 +53,10 @@ def main():
     from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
 
     cfg = SVDUNetConfig.svd_xt()
+    if args.fused_gn:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_groupnorm=True)
     unet = SVDUNet(cfg)
     log("initializing params...")
     t0 = time.time()

@@ -204,6 +204,35 @@ def test_svd_pipeline_stage_invariance(wrapper_and_cond):
         )
 
 
+def test_svd_pipeline_stage_invariance_fused_gn(wrapper_and_cond):
+    """The design invariant must survive the fused-GN knob: the STAGE axis
+    never shards intra-sample statistics, so a fused-GN wrapper under the
+    pipeline equals the fused-GN single-device oracle exactly as the
+    unfused one does (the seq/frame combination is rejected instead —
+    tests/test_norm_kernel.py)."""
+    import dataclasses
+
+    _, params, cond = wrapper_and_cond
+    cfg = dataclasses.replace(SVDUNetConfig.tiny(), fused_groupnorm=True)
+    model = StableVideoUNet(cfg, num_steps=NUM_STEPS)
+    step_fn = model.pipeline_step_fn()
+    bundle = (params, cond)
+    inputs = (
+        jax.random.normal(jax.random.key(18), (2, B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    ref = run_reference_single_device(step_fn, bundle, inputs, NUM_STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2),
+        step_fn,
+        PipelineConfig(total_steps=NUM_STEPS, num_stages=2),
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_temporal_tblock_matches_transpose_formulation():
     """The layout-preserving temporal block must equal the original
     (B*L, F, C)-transposed formulation elementwise."""
