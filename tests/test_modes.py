@@ -3,6 +3,7 @@ subprocess on the virtual CPU mesh and honors its output contract."""
 
 import json
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -172,3 +173,23 @@ def test_benchmark_expert_parallel_needs_moe_model():
     ], timeout=600)
     assert r.returncode != 0
     assert "MoE" in (r.stderr + r.stdout)
+
+
+def test_benchmark_profile_dir_writes_trace(tmp_path):
+    """--profile-dir captures an xprof device trace around the measured
+    runs without disturbing the BENCHMARK_JSON contract."""
+    trace_dir = str(tmp_path / "trace")
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "dummy", "--num-stages", "2", "--total-steps", "4",
+        "--num-samples", "1", "--warmup-samples", "0",
+        "--latent-shape", "1", "8", "2", "8", "8",
+        "--profile-dir", trace_dir,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    extract_benchmark_json(r.stdout)  # contract intact
+    produced = [
+        p for p in pathlib.Path(trace_dir).rglob("*") if p.is_file()
+    ]
+    assert produced, "no trace files written"
+    assert any(p.name.endswith(".xplane.pb") for p in produced), produced

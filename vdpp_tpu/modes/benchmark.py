@@ -20,6 +20,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import logging
 import sys
 import time
@@ -80,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-level", default="INFO")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a device-timeline profile of the warmup + "
+                        "measured runs into this directory (open with "
+                        "xprof/TensorBoard); no-op on backends without "
+                        "profiling support")
     return p
 
 
@@ -224,6 +230,17 @@ def main(argv=None) -> int:
     inputs = jax.random.normal(
         jax.random.key(args.seed + 2), (total_n, *latent_cl), jnp.float32
     )
+
+    # --profile-dir: device-timeline capture spanning warmup + measured
+    # runs (closed before the JSON emit so the trace flushes even when
+    # stdout is piped). The timing numbers in BENCHMARK_JSON remain
+    # honest — profiling adds per-dispatch overhead, so treat a profiled
+    # run's times as indicative, not as the metric.
+    profile_stack = contextlib.ExitStack()
+    if args.profile_dir:
+        from vdpp_tpu.utils.profiling import device_trace
+
+        profile_stack.enter_context(device_trace(args.profile_dir))
 
     if args.fsdp:
         if (args.seq_parallel > 1 or args.cfg_parallel
@@ -432,6 +449,7 @@ def main(argv=None) -> int:
             **({"program_memory_gb": program_mem} if program_mem else {}),
         },
     )
+    profile_stack.close()
     emit_benchmark_json(results)
     return 0
 
