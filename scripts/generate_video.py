@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=1)
     p.add_argument("--guidance-scale", type=float, default=3.0)
     p.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
+    p.add_argument("--solver", default="euler", choices=["euler", "heun"],
+                   help="euler = reference semantics; heun = 2nd-order EDM "
+                        "(2 UNet evals/step, use ~half the --steps)")
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
@@ -194,7 +197,8 @@ def main(argv=None) -> int:
 
     # ---- models ----
     t0 = time.perf_counter()
-    model = StableVideoUNet(unet_cfg, num_steps=args.steps, cfg_mode=args.cfg_mode)
+    model = StableVideoUNet(unet_cfg, num_steps=args.steps, cfg_mode=args.cfg_mode,
+                            solver=args.solver)
     clip_enc = CLIPVisionEncoder(clip_cfg)
     vae_enc = VAEEncoder(vae_cfg)
     vae_dec = TemporalVAEDecoder(vae_cfg)

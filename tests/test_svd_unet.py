@@ -233,6 +233,34 @@ def test_svd_pipeline_stage_invariance_fused_gn(wrapper_and_cond):
     )
 
 
+def test_svd_pipeline_stage_invariance_heun(wrapper_and_cond):
+    """The 2nd-order Heun solver rides the same step_fn contract (its two
+    model evals are internal to one step), so pipelined output must equal
+    the single-device oracle unchanged."""
+    _, params, cond = wrapper_and_cond
+    model = StableVideoUNet(SVDUNetConfig.tiny(), num_steps=NUM_STEPS,
+                            solver="heun")
+    step_fn = model.pipeline_step_fn()
+    bundle = (params, cond)
+    inputs = (
+        jax.random.normal(jax.random.key(19), (2, B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    ref = run_reference_single_device(step_fn, bundle, inputs, NUM_STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2),
+        step_fn,
+        PipelineConfig(total_steps=NUM_STEPS, num_stages=2),
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+    # And the solver actually denoises: the full heun schedule must shrink
+    # the latent scale like the euler one does.
+    assert float(jnp.std(out)) < float(jnp.std(inputs))
+
+
 def test_temporal_tblock_matches_transpose_formulation():
     """The layout-preserving temporal block must equal the original
     (B*L, F, C)-transposed formulation elementwise."""

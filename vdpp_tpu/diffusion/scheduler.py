@@ -107,6 +107,65 @@ def euler_step_v_prediction(
     return prev.astype(out_dtype)
 
 
+def _pred_original(x: jax.Array, eps: jax.Array, s: jax.Array) -> jax.Array:
+    """v-prediction x0_hat (the EulerDiscrete denoiser output form)."""
+    denom = s * s + 1.0
+    return eps * (-s * jax.lax.rsqrt(denom)) + x / denom
+
+
+def heun_step_v_prediction(
+    latent: jax.Array,
+    eps_fn,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    out_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """One Heun (2nd-order EDM, Karras et al. 2022 Alg. 1 deterministic)
+    update in fp32, in the same v-prediction parameterization as
+    :func:`euler_step_v_prediction`.
+
+    ``eps_fn(scaled_latent, c_noise_timestep) -> noise prediction`` is the
+    full model call (CFG included) — Heun evaluates it TWICE per step
+    (predictor at ``sigma``, corrector at ``sigma_next``), buying
+    O(h^2) local accuracy so schedules need roughly half the steps of
+    Euler for the same ODE-solve error (tests/test_scheduler.py pins the
+    convergence orders on an analytic Gaussian-score oracle).
+
+    Two exactness properties the pipeline relies on survive:
+    * identity padding (``sigma_next == sigma``): dt == 0 makes both the
+      predictor and the correction exact no-ops;
+    * the final step (``sigma_next == 0``): the corrector's ``1/sigma_next``
+      is undefined there, so the step falls back to plain Euler — the same
+      special case diffusers' HeunDiscreteScheduler encodes.
+
+    Beyond the reference (which inherits diffusers' first-order
+    EulerDiscrete, reference: src/models/svd_unet.py:77-102).
+    """
+    out_dtype = out_dtype or latent.dtype
+    x = latent.astype(jnp.float32)
+    s = jnp.asarray(sigma, dtype=jnp.float32)
+    s_next = jnp.asarray(sigma_next, dtype=jnp.float32)
+    dt = s_next - s
+
+    eps1 = eps_fn(x * jax.lax.rsqrt(s * s + 1.0), 0.25 * jnp.log(s)).astype(
+        jnp.float32
+    )
+    d1 = (x - _pred_original(x, eps1, s)) / s
+    x_euler = x + d1 * dt
+
+    # Corrector at sigma_next; guarded against the trailing 0 (the eval
+    # still runs — traced cond would re-trace the UNet — but its result is
+    # discarded on the final step).
+    s2 = jnp.where(s_next > 0.0, s_next, 1.0)
+    eps2 = eps_fn(
+        x_euler * jax.lax.rsqrt(s2 * s2 + 1.0), 0.25 * jnp.log(s2)
+    ).astype(jnp.float32)
+    d2 = (x_euler - _pred_original(x_euler, eps2, s2)) / s2
+    x_heun = x + 0.5 * (d1 + d2) * dt
+
+    return jnp.where(s_next > 0.0, x_heun, x_euler).astype(out_dtype)
+
+
 @dataclass(frozen=True)
 class EulerKarrasSchedule:
     """Precomputed schedule: sigma table + continuous timesteps.

@@ -27,7 +27,11 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from vdpp_tpu.diffusion.scheduler import EulerKarrasSchedule, euler_step_v_prediction
+from vdpp_tpu.diffusion.scheduler import (
+    EulerKarrasSchedule,
+    euler_step_v_prediction,
+    heun_step_v_prediction,
+)
 from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
 
 
@@ -151,9 +155,12 @@ class StableVideoUNet:
         sigma_max: float = 700.0,
         cfg_mode: str = "sequential",
         pad_steps_to: int | None = None,
+        solver: str = "euler",
     ):
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
+        if solver not in ("euler", "heun"):
+            raise ValueError("solver must be 'euler' or 'heun'")
         self.config = config or SVDUNetConfig.svd_xt()
         # VDPP_GN_FUSED=1 routes GroupNorm->SiLU pairs through the fused
         # Pallas kernel. Read at CONSTRUCTION (same discipline as
@@ -172,6 +179,10 @@ class StableVideoUNet:
             num_steps, sigma_min, sigma_max, pad_to_multiple_of=pad_steps_to
         )
         self.cfg_mode = cfg_mode
+        # "euler" = the reference's first-order EulerDiscrete semantics;
+        # "heun" = 2nd-order EDM (2 model evals/step, ~half the steps for
+        # the same ODE error — scheduler.heun_step_v_prediction).
+        self.solver = solver
 
     @property
     def num_steps(self) -> int:
@@ -286,9 +297,20 @@ class StableVideoUNet:
         step_idx = jnp.asarray(step_idx)
         sigma = sigmas[step_idx]
         sigma_next = sigmas[step_idx + 1]
-        timestep = 0.25 * jnp.log(sigma)
 
         lat32 = latent.astype(jnp.float32)
+        if self.solver == "heun":
+            def eps_fn(scaled, timestep):
+                return self.noise_pred(
+                    params, scaled, timestep, cond, cfg_axis=cfg_axis,
+                    seq_axis=seq_axis, seq_shards=seq_shards,
+                    frame_axis=frame_axis, frame_shards=frame_shards,
+                )
+
+            return heun_step_v_prediction(
+                lat32, eps_fn, sigma, sigma_next, latent.dtype
+            )
+        timestep = 0.25 * jnp.log(sigma)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis,
                               seq_axis=seq_axis, seq_shards=seq_shards,

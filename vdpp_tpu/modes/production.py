@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("B", "C", "F", "H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
+    p.add_argument("--solver", default="euler", choices=["euler", "heun"],
+                   help="ODE solver: euler (reference semantics) or heun "
+                        "(2nd-order EDM, 2 model evals/step — roughly half "
+                        "the steps for the same ODE error)")
     p.add_argument("--preset", default="svd_xt", choices=["svd_xt", "tiny"])
     p.add_argument("--checkpoint", default=None,
                    help="path to converted weights (.npz / orbax dir); random init if omitted")
@@ -155,6 +159,7 @@ def main(argv=None) -> int:
     model = StableVideoUNet(
         config, num_steps=args.total_steps, cfg_mode=args.cfg_mode,
         pad_steps_to=stages if args.pad_schedule else None,
+        solver=args.solver,
     )
     if model.num_steps != args.total_steps:
         LOGGER.info(
