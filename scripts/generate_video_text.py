@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--num-frames", type=int, default=8)
     p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--solver", default="euler", choices=["euler", "heun"],
+                   help="euler = reference semantics; heun = 2nd-order EDM "
+                        "(2 DiT evals/step, use ~half the --steps)")
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--seq-parallel", type=int, default=1)
     p.add_argument("--num-samples", type=int, default=1)
@@ -167,7 +170,8 @@ def main(argv=None) -> int:
     # ---- models ----
     t0 = time.perf_counter()
     t5 = T5TextEncoder(t5_cfg)
-    wrapper = DiTVideoWrapper(dit_cfg, num_steps=args.steps)
+    wrapper = DiTVideoWrapper(dit_cfg, num_steps=args.steps,
+                              solver=args.solver)
     vae_dec = TemporalVAEDecoder(vae_cfg)
     if args.checkpoint:
         from vdpp_tpu.utils.weights import load_params

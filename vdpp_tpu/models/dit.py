@@ -32,7 +32,11 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from vdpp_tpu.diffusion.scheduler import EulerKarrasSchedule, euler_step_v_prediction
+from vdpp_tpu.diffusion.scheduler import (
+    EulerKarrasSchedule,
+    euler_step_v_prediction,
+    heun_step_v_prediction,
+)
 from vdpp_tpu.ops.attention import attention, init_attention, temporal_self_attention
 from vdpp_tpu.ops.embeddings import init_timestep_mlp, sinusoidal_embedding, timestep_mlp
 from vdpp_tpu.ops.linear import init_linear, linear
@@ -374,9 +378,13 @@ class DiTVideoWrapper:
         num_steps: int = 25,
         sigma_min: float = 0.002,
         sigma_max: float = 700.0,
+        solver: str = "euler",
     ):
         import os
 
+        if solver not in ("euler", "heun"):
+            raise ValueError("solver must be 'euler' or 'heun'")
+        self.solver = solver
         self.config = config or DiTVideoConfig.latte_xl()
         self.model = DiTVideo(self.config)
         self.schedule = EulerKarrasSchedule.create(num_steps, sigma_min, sigma_max)
@@ -400,38 +408,47 @@ class DiTVideoWrapper:
         step_idx = jnp.asarray(step_idx)
         sigma = sigmas[step_idx]
         sigma_next = sigmas[step_idx + 1]
-        timestep = 0.25 * jnp.log(sigma)
 
-        def fwd(ctx):
-            return self.model.apply(
-                params, scaled, timestep, ctx,
-                seq_axis=seq_axis, seq_shards=seq_shards,
-                expert_axis=expert_axis,
-                moe_dispatch=self.moe_dispatch,
-                moe_capacity=self.moe_capacity,
-            )
+        def eps_at(scaled, timestep):
+            """Full (CFG-blended) noise prediction at one (x, sigma) point —
+            the solver-facing model call (Heun evaluates it twice)."""
+
+            def fwd(ctx):
+                return self.model.apply(
+                    params, scaled, timestep, ctx,
+                    seq_axis=seq_axis, seq_shards=seq_shards,
+                    expert_axis=expert_axis,
+                    moe_dispatch=self.moe_dispatch,
+                    moe_capacity=self.moe_capacity,
+                )
+
+            if guidance is not None and context is not None:
+                if cfg_axis is not None:
+                    # CFG parallelism: device 0 of the size-2 axis runs the
+                    # uncond branch, device 1 the cond branch; one ppermute
+                    # swaps the results (output replicated over the axis).
+                    is_cond = jax.lax.axis_index(cfg_axis) == 1
+                    local = fwd(context * is_cond.astype(context.dtype))
+                    other = jax.lax.ppermute(local, cfg_axis, [(0, 1), (1, 0)])
+                    uncond = jnp.where(is_cond, other, local)
+                    cond = jnp.where(is_cond, local, other)
+                else:
+                    uncond = fwd(jnp.zeros_like(context))
+                    cond = fwd(context)
+                g = guidance.astype(jnp.float32)
+                return uncond.astype(jnp.float32) + g * (
+                    cond.astype(jnp.float32) - uncond.astype(jnp.float32)
+                )
+            return fwd(context)
 
         lat32 = latent.astype(jnp.float32)
-        scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
-        if guidance is not None and context is not None:
-            if cfg_axis is not None:
-                # CFG parallelism: device 0 of the size-2 axis runs the
-                # uncond branch, device 1 the cond branch; one ppermute
-                # swaps the results (output replicated over the axis).
-                is_cond = jax.lax.axis_index(cfg_axis) == 1
-                local = fwd(context * is_cond.astype(context.dtype))
-                other = jax.lax.ppermute(local, cfg_axis, [(0, 1), (1, 0)])
-                uncond = jnp.where(is_cond, other, local)
-                cond = jnp.where(is_cond, local, other)
-            else:
-                uncond = fwd(jnp.zeros_like(context))
-                cond = fwd(context)
-            g = guidance.astype(jnp.float32)
-            eps = uncond.astype(jnp.float32) + g * (
-                cond.astype(jnp.float32) - uncond.astype(jnp.float32)
+        if self.solver == "heun":
+            return heun_step_v_prediction(
+                lat32, eps_at, sigma, sigma_next, latent.dtype
             )
-        else:
-            eps = fwd(context)
+        timestep = 0.25 * jnp.log(sigma)
+        scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
+        eps = eps_at(scaled, timestep)
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
     def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1,
