@@ -53,9 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=1)
     p.add_argument("--guidance-scale", type=float, default=3.0)
     p.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
-    p.add_argument("--solver", default="euler", choices=["euler", "heun"],
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"],
                    help="euler = reference semantics; heun = 2nd-order EDM "
-                        "(2 UNet evals/step, use ~half the --steps)")
+                        "(2 UNet evals/step, use ~half the --steps); "
+                        "dpmpp2m = 2nd-order multistep DPM-Solver++ "
+                        "(1 eval/step, use ~half the --steps)")
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
@@ -277,6 +280,9 @@ def main(argv=None) -> int:
         )(keys)
         * model.init_noise_sigma
     )
+    # dpmpp2m threads its multistep state through the payload channels;
+    # pack_initial/unpack_final are identities for euler/heun.
+    noise = model.pack_initial(noise)
     videos: list = [None] * args.num_samples
     if overlap_decode_mesh is not None:
         # Overlapped mode (SURVEY's "7 stages + 1 decode chip" topology):
@@ -286,6 +292,7 @@ def main(argv=None) -> int:
         # are still denoising on the stage devices. Exact same math as
         # the two-phase path — only the schedule changes.
         def _decode_now(idx, lat):
+            lat = model.unpack_final(lat)
             videos[idx] = vae_dec.decode_data_parallel(
                 vae_dec_params, lat / vae_cfg.scaling_factor,
                 overlap_decode_mesh, chunk_frames=args.decode_chunk_frames,
@@ -297,6 +304,7 @@ def main(argv=None) -> int:
         jax.block_until_ready(latents)
     else:
         latents = jax.block_until_ready(pipe.run((unet_params, cond), noise))
+    latents = model.unpack_final(latents)
     t_diffusion = time.perf_counter() - t0
     # Free the UNet before decode — the reference's two-phase design
     # exists for exactly this OOM (reference: generate_video_demo.py:

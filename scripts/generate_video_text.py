@@ -57,9 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--num-frames", type=int, default=8)
     p.add_argument("--steps", type=int, default=24)
-    p.add_argument("--solver", default="euler", choices=["euler", "heun"],
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"],
                    help="euler = reference semantics; heun = 2nd-order EDM "
-                        "(2 DiT evals/step, use ~half the --steps)")
+                        "(2 DiT evals/step, use ~half the --steps); "
+                        "dpmpp2m = 2nd-order multistep DPM-Solver++ "
+                        "(1 eval/step, use ~half the --steps)")
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--seq-parallel", type=int, default=1)
     p.add_argument("--num-samples", type=int, default=1)
@@ -212,6 +215,9 @@ def main(argv=None) -> int:
         )(keys)
         * wrapper.init_noise_sigma
     )
+    # dpmpp2m threads its multistep state through the payload channels;
+    # pack_initial/unpack_final are identities for euler/heun.
+    noise = wrapper.pack_initial(noise)
     bundle = (dit_params, ctx, guidance)
 
     if sp > 1 and (stages or 1) > 1:
@@ -246,6 +252,7 @@ def main(argv=None) -> int:
             )
         )
         mode = "single"
+    latents = wrapper.unpack_final(latents)
     t_diffusion = time.perf_counter() - t0
     del dit_params
     LOGGER.info("diffusion [%s]: %.1fs (%d samples)", mode, t_diffusion,

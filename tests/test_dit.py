@@ -104,6 +104,30 @@ def test_dit_heun_pipeline_stage_invariance(dit):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_dit_dpmpp2m_pipeline_stage_invariance(dit):
+    """solver='dpmpp2m' threads the previous x0_hat through the pipeline
+    packed along channels; pipelined output equals the single-device
+    oracle, and unpack_final recovers the latent shape."""
+    cfg, _, params = dit
+    wrapper = DiTVideoWrapper(cfg, num_steps=STEPS, solver="dpmpp2m")
+    ctx = jax.random.normal(jax.random.key(6), (B, 2, cfg.cross_attention_dim))
+    guidance = make_guidance_ramp(3.0, F)
+    bundle = (params, ctx, guidance)
+    step_fn = wrapper.pipeline_step_fn()
+    noise = (
+        jax.random.normal(jax.random.key(9), (2, B, F, H, W, cfg.in_channels))
+        * wrapper.init_noise_sigma
+    )
+    inputs = wrapper.pack_initial(noise)
+    ref = run_reference_single_device(step_fn, bundle, inputs, STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(STEPS, 2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    assert wrapper.unpack_final(out).shape == noise.shape
+
+
 def test_wrapper_full_schedule_contracts(dit):
     cfg, _, params = dit
     wrapper = DiTVideoWrapper(cfg, num_steps=STEPS)

@@ -83,6 +83,20 @@ def test_production_mode_tiny():
     assert "final latent norm" in r.stderr + r.stdout
 
 
+def test_production_mode_dpmpp2m():
+    """--solver dpmpp2m: the multistep state packs along payload channels
+    (pipeline stage hand-offs carry [x ‖ old x0_hat]) and the CLI unpacks
+    before reporting — the end-to-end wiring this smoke pins."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
+        "--num-stages", "2", "--total-steps", "4", "--num-samples", "1",
+        "--solver", "dpmpp2m", "--guidance-scale", "3",
+        "--latent-shape", "1", "4", "2", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final latent norm" in r.stderr + r.stdout
+
+
 def test_production_auto_topology():
     """--auto-topology plans the mesh factorization (planner unit tests
     in tests/test_topology.py; this pins the CLI wiring end-to-end)."""

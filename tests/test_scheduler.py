@@ -194,17 +194,27 @@ def _oracle_eps(xs, t):
 
 
 def _solve(solver: str, n_steps: int, x0=1.7, s_hi=80.0, s_lo=0.5):
-    from vdpp_tpu.diffusion.scheduler import heun_step_v_prediction
+    from vdpp_tpu.diffusion.scheduler import (
+        dpmpp2m_step_v_prediction,
+        heun_step_v_prediction,
+    )
 
     # Geometric sigma ladder (no trailing 0 — the analytic solution needs
     # s_lo > 0); fp64 numpy bookkeeping, fp32 steps.
     sig = np.geomspace(s_hi, s_lo, n_steps + 1)
     x = jnp.float32(x0)
+    old_den = jnp.float32(0.0)
     for i in range(n_steps):
         s, s_next = jnp.float32(sig[i]), jnp.float32(sig[i + 1])
         if solver == "euler":
             eps = _oracle_eps(x * jax.lax.rsqrt(s * s + 1.0), 0.25 * jnp.log(s))
             x = euler_step_v_prediction(x, eps, s, s_next)
+        elif solver == "dpmpp2m":
+            s_prev = jnp.float32(sig[max(i - 1, 0)])
+            eps = _oracle_eps(x * jax.lax.rsqrt(s * s + 1.0), 0.25 * jnp.log(s))
+            x, old_den = dpmpp2m_step_v_prediction(
+                x, eps, old_den, s_prev, s, s_next
+            )
         else:
             x = heun_step_v_prediction(x, _oracle_eps, s, s_next)
     return float(x)
@@ -242,6 +252,66 @@ def test_heun_identity_padding_is_exact():
 
     out = heun_step_v_prediction(x, junk_eps, jnp.float32(700.0), jnp.float32(700.0))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_dpmpp2m_converges_at_order_two_with_one_eval_per_step():
+    """DPM-Solver++ (2M): global error ~quarters when steps double (order
+    2) at ONE model eval per step — second-order accuracy at Euler's
+    cost, the claim that justifies the multistep state."""
+    ref = _true_solution()
+    e_n = abs(_solve("euler", 24) - ref)
+    d_n = abs(_solve("dpmpp2m", 24) - ref)
+    d_2n = abs(_solve("dpmpp2m", 48) - ref)
+    assert d_n < e_n / 3, (d_n, e_n)
+    # ~4x when steps double (the n=12 regime is pre-asymptotic: the
+    # large-h first-order bootstrap step still dominates there).
+    assert 2.8 < d_n / d_2n < 6.5, (d_n, d_2n)
+
+
+def test_dpmpp2m_identity_padding_is_exact():
+    """sigma_next == sigma (schedule padding) must leave x bitwise
+    unchanged regardless of the (finite) model output; and h_last == 0
+    afterwards must force the next step first-order, so padded and
+    unpadded schedules produce identical latents."""
+    from vdpp_tpu.diffusion.scheduler import dpmpp2m_step_v_prediction
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3)).astype(np.float32))
+    junk = jnp.full_like(x, 123.0)
+    s = jnp.float32(700.0)
+    out, _den = dpmpp2m_step_v_prediction(x, junk, jnp.zeros_like(x), s, s, s)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    # Padded 3-step-prefix schedule == unpadded, through real steps.
+    sig = np.array([80.0, 80.0, 80.0, 20.0, 5.0, 0.5], np.float64)
+
+    def run(sigmas):
+        xx = jnp.float32(1.7)
+        den = jnp.float32(0.0)
+        for i in range(len(sigmas) - 1):
+            s_prev = jnp.float32(sigmas[max(i - 1, 0)])
+            s_i, s_n = jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1])
+            eps = _oracle_eps(
+                xx * jax.lax.rsqrt(s_i * s_i + 1.0), 0.25 * jnp.log(s_i)
+            )
+            xx, den = dpmpp2m_step_v_prediction(xx, eps, den, s_prev, s_i, s_n)
+        return float(xx)
+
+    assert run(sig) == run(sig[2:])
+
+
+def test_dpmpp2m_final_step_returns_denoised():
+    """At sigma_next == 0, h = inf collapses the update to x0_hat (the
+    diffusers DPMSolverMultistep special case)."""
+    from vdpp_tpu.diffusion.scheduler import dpmpp2m_step_v_prediction
+
+    x = jnp.asarray([[0.3, -1.2, 2.0]], jnp.float32)
+    s = jnp.float32(0.002)
+    eps = _oracle_eps(x * jax.lax.rsqrt(s * s + 1.0), 0.25 * jnp.log(s))
+    got, den = dpmpp2m_step_v_prediction(
+        x, eps, jnp.ones_like(x), jnp.float32(0.01), s, jnp.float32(0.0)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(den), rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(got)))
 
 
 def test_heun_final_step_falls_back_to_euler():

@@ -261,6 +261,62 @@ def test_svd_pipeline_stage_invariance_heun(wrapper_and_cond):
     assert float(jnp.std(out)) < float(jnp.std(inputs))
 
 
+def test_svd_pipeline_stage_invariance_dpmpp2m(wrapper_and_cond):
+    """DPM-Solver++ (2M) carries CROSS-step state (the previous x0_hat)
+    through the pipeline, packed along the latent channel axis
+    (pack_initial/unpack_final). The packed payload must hand off between
+    stages like any latent: pipelined == single-device oracle."""
+    _, params, cond = wrapper_and_cond
+    model = StableVideoUNet(SVDUNetConfig.tiny(), num_steps=NUM_STEPS,
+                            solver="dpmpp2m")
+    step_fn = model.pipeline_step_fn()
+    bundle = (params, cond)
+    noise = (
+        jax.random.normal(jax.random.key(20), (2, B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    inputs = model.pack_initial(noise)
+    assert inputs.shape[-1] == 8  # [x ‖ old x0_hat]
+    ref = run_reference_single_device(step_fn, bundle, inputs, NUM_STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2),
+        step_fn,
+        PipelineConfig(total_steps=NUM_STEPS, num_stages=2),
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+    final = model.unpack_final(out)
+    assert final.shape == noise.shape
+    assert float(jnp.std(final)) < float(jnp.std(noise))
+
+
+def test_svd_dpmpp2m_padded_schedule_matches_unpadded(wrapper_and_cond):
+    """Identity-step padding must stay EXACT under the multistep solver:
+    the padded steps leave x bitwise unchanged and force the first real
+    step back to first order (h_last == 0), so a 6-step schedule padded
+    to 8 produces the same final latent as the unpadded 6-step one."""
+    _, params, cond = wrapper_and_cond
+    base = StableVideoUNet(SVDUNetConfig.tiny(), num_steps=6,
+                           solver="dpmpp2m")
+    padded = StableVideoUNet(SVDUNetConfig.tiny(), num_steps=6,
+                             pad_steps_to=4, solver="dpmpp2m")
+    assert padded.num_steps == 8
+    noise = (
+        jax.random.normal(jax.random.key(21), (B, F, H, W, 4))
+        * base.init_noise_sigma
+    )
+
+    def run(model):
+        x = model.pack_initial(noise)
+        for s in range(model.num_steps):
+            x = model.step(params, x, s, cond)
+        return np.asarray(model.unpack_final(x))
+
+    np.testing.assert_allclose(run(padded), run(base), rtol=1e-5, atol=1e-6)
+
+
 def test_temporal_tblock_matches_transpose_formulation():
     """The layout-preserving temporal block must equal the original
     (B*L, F, C)-transposed formulation elementwise."""

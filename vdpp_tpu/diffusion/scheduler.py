@@ -166,6 +166,80 @@ def heun_step_v_prediction(
     return jnp.where(s_next > 0.0, x_heun, x_euler).astype(out_dtype)
 
 
+def dpmpp2m_step_v_prediction(
+    latent: jax.Array,
+    noise_pred: jax.Array,
+    old_denoised: jax.Array,
+    sigma_prev: jax.Array,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    out_dtype: jnp.dtype | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One DPM-Solver++ (2M) update in fp32 — second-order MULTISTEP: one
+    model eval per step (like Euler), with the second-order correction
+    coming from the PREVIOUS step's denoised estimate instead of a second
+    eval (unlike Heun). In exp-integrator form over t = -ln(sigma):
+
+        h      = t_next - t,   h_last = t - t_prev
+        x_next = (sigma_next/sigma) * x  -  expm1(-h) * D
+        D      = x0_hat                                   (first order)
+        D      = (1 + 1/2r) x0_hat - (1/2r) old_x0_hat,   r = h_last / h
+
+    the variance-exploding x-space recursion of Lu et al. 2022
+    (DPM-Solver++, Eq. 4.5/Algorithm 2) in the same v-prediction
+    parameterization as :func:`euler_step_v_prediction`.
+
+    Cross-step state: callers thread ``old_denoised`` (this step returns
+    the pair ``(x_next, x0_hat)``); the pipeline wrappers pack it along
+    the latent CHANNEL axis so it rides the stage hand-off unchanged —
+    channels are unsharded on every mesh axis (seq shards W, frame shards
+    F), so the packed payload is sharding-neutral.
+
+    The step degrades to first order exactly when the second-order term
+    is undefined or meaningless:
+    * ``h_last == 0`` — the first step (callers pass
+      ``sigma_prev == sigma`` there) and any step that follows identity
+      padding (leading duplicate sigmas, EulerKarrasSchedule.create):
+      both schedules therefore produce IDENTICAL latents, preserving the
+      padding-exactness invariant;
+    * ``sigma_next == 0`` — the final step, where h = inf collapses the
+      update to ``x_next = x0_hat`` (the same special case diffusers'
+      DPMSolverMultistepScheduler encodes);
+    * ``h == 0`` — an identity-padded step itself: ratio 1 and
+      expm1(0) = 0 make the update a bitwise no-op (given finite
+      ``noise_pred``).
+
+    Beyond the reference (which inherits diffusers' first-order
+    EulerDiscrete, reference: src/models/svd_unet.py:77-102).
+    """
+    out_dtype = out_dtype or latent.dtype
+    x = latent.astype(jnp.float32)
+    eps = noise_pred.astype(jnp.float32)
+    old_den = old_denoised.astype(jnp.float32)
+    s_prev = jnp.asarray(sigma_prev, dtype=jnp.float32)
+    s = jnp.asarray(sigma, dtype=jnp.float32)
+    s_next = jnp.asarray(sigma_next, dtype=jnp.float32)
+
+    denoised = _pred_original(x, eps, s)
+
+    # t = -ln(sigma); the trailing 0 maps to t = +inf (handled below).
+    h = jnp.log(s) - jnp.log(s_next)  # t_next - t, > 0 on real steps
+    h_last = jnp.log(s_prev) - jnp.log(s)
+    ratio = s_next / s  # e^{-h}, exactly 1.0 on identity-padded steps
+
+    first_order = (h_last == 0.0) | (s_next <= 0.0) | (h == 0.0)
+    # Guarded divisions: the guarded values only feed the SECOND-order
+    # expression, which jnp.where discards wherever first_order holds.
+    r = h_last / jnp.where(h > 0.0, h, 1.0)
+    inv_2r = 0.5 / jnp.where(r > 0.0, r, 1.0)
+    denoised_d = (1.0 + inv_2r) * denoised - inv_2r * old_den
+    d_used = jnp.where(first_order, denoised, denoised_d)
+
+    # expm1(-inf) = -1 and ratio = 0 on the final step: x_next = x0_hat.
+    x_next = ratio * x - jnp.expm1(-h) * d_used
+    return x_next.astype(out_dtype), denoised.astype(out_dtype)
+
+
 @dataclass(frozen=True)
 class EulerKarrasSchedule:
     """Precomputed schedule: sigma table + continuous timesteps.

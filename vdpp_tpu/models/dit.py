@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from vdpp_tpu.diffusion.scheduler import (
     EulerKarrasSchedule,
+    dpmpp2m_step_v_prediction,
     euler_step_v_prediction,
     heun_step_v_prediction,
 )
@@ -382,8 +383,8 @@ class DiTVideoWrapper:
     ):
         import os
 
-        if solver not in ("euler", "heun"):
-            raise ValueError("solver must be 'euler' or 'heun'")
+        if solver not in ("euler", "heun", "dpmpp2m"):
+            raise ValueError("solver must be 'euler', 'heun' or 'dpmpp2m'")
         self.solver = solver
         self.config = config or DiTVideoConfig.latte_xl()
         self.model = DiTVideo(self.config)
@@ -398,6 +399,23 @@ class DiTVideoWrapper:
     @property
     def init_noise_sigma(self) -> float:
         return self.schedule.init_noise_sigma
+
+    # ---- multistep-state payload packing (no-op for one-step solvers) ---- #
+    @property
+    def latent_channel_multiplier(self) -> int:
+        """Channel slots the pipeline payload carries (2 for dpmpp2m:
+        [x ‖ previous x0_hat] — see svd_wrapper for the packing story)."""
+        return 2 if self.solver == "dpmpp2m" else 1
+
+    def pack_initial(self, latent: jax.Array) -> jax.Array:
+        if self.latent_channel_multiplier == 1:
+            return latent
+        return jnp.concatenate([latent, jnp.zeros_like(latent)], axis=-1)
+
+    def unpack_final(self, latent: jax.Array) -> jax.Array:
+        if self.latent_channel_multiplier == 1:
+            return latent
+        return latent[..., : latent.shape[-1] // 2]
 
     def init(self, key: jax.Array) -> dict:
         return self.model.init(key)
@@ -446,6 +464,17 @@ class DiTVideoWrapper:
             return heun_step_v_prediction(
                 lat32, eps_at, sigma, sigma_next, latent.dtype
             )
+        if self.solver == "dpmpp2m":
+            # Payload is [x ‖ old x0_hat] along channels (pack_initial);
+            # only x feeds the DiT. See svd_wrapper for the packing story.
+            x32, old_den = jnp.split(lat32, 2, axis=-1)
+            sigma_prev = sigmas[jnp.maximum(step_idx - 1, 0)]
+            timestep = 0.25 * jnp.log(sigma)
+            eps = eps_at(x32 * jax.lax.rsqrt(sigma * sigma + 1.0), timestep)
+            x_next, denoised = dpmpp2m_step_v_prediction(
+                x32, eps, old_den, sigma_prev, sigma, sigma_next, latent.dtype
+            )
+            return jnp.concatenate([x_next, denoised], axis=-1)
         timestep = 0.25 * jnp.log(sigma)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         eps = eps_at(scaled, timestep)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from vdpp_tpu.diffusion.scheduler import (
     EulerKarrasSchedule,
+    dpmpp2m_step_v_prediction,
     euler_step_v_prediction,
     heun_step_v_prediction,
 )
@@ -159,8 +160,8 @@ class StableVideoUNet:
     ):
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
-        if solver not in ("euler", "heun"):
-            raise ValueError("solver must be 'euler' or 'heun'")
+        if solver not in ("euler", "heun", "dpmpp2m"):
+            raise ValueError("solver must be 'euler', 'heun' or 'dpmpp2m'")
         self.config = config or SVDUNetConfig.svd_xt()
         # VDPP_GN_FUSED=1 routes GroupNorm->SiLU pairs through the fused
         # Pallas kernel. Read at CONSTRUCTION (same discipline as
@@ -181,8 +182,34 @@ class StableVideoUNet:
         self.cfg_mode = cfg_mode
         # "euler" = the reference's first-order EulerDiscrete semantics;
         # "heun" = 2nd-order EDM (2 model evals/step, ~half the steps for
-        # the same ODE error — scheduler.heun_step_v_prediction).
+        # the same ODE error — scheduler.heun_step_v_prediction);
+        # "dpmpp2m" = 2nd-order MULTISTEP DPM-Solver++ (ONE eval/step; the
+        # previous step's x0_hat rides the pipeline payload packed along
+        # the channel axis — scheduler.dpmpp2m_step_v_prediction).
         self.solver = solver
+
+    # ---- multistep-state payload packing (no-op for one-step solvers) ---- #
+    @property
+    def latent_channel_multiplier(self) -> int:
+        """How many latent-sized channel slots the pipeline payload carries
+        (2 for dpmpp2m: [x ‖ previous x0_hat])."""
+        return 2 if self.solver == "dpmpp2m" else 1
+
+    def pack_initial(self, latent: jax.Array) -> jax.Array:
+        """Attach solver state to a fresh latent before the pipeline runs.
+
+        For dpmpp2m the old-x0_hat slot starts at zero; the first step's
+        ``sigma_prev == sigma`` (h_last == 0) forces the first-order branch,
+        so the zeros are never read."""
+        if self.latent_channel_multiplier == 1:
+            return latent
+        return jnp.concatenate([latent, jnp.zeros_like(latent)], axis=-1)
+
+    def unpack_final(self, latent: jax.Array) -> jax.Array:
+        """Strip solver state from the pipeline's final payload."""
+        if self.latent_channel_multiplier == 1:
+            return latent
+        return latent[..., : latent.shape[-1] // 2]
 
     @property
     def num_steps(self) -> int:
@@ -310,6 +337,23 @@ class StableVideoUNet:
             return heun_step_v_prediction(
                 lat32, eps_fn, sigma, sigma_next, latent.dtype
             )
+        if self.solver == "dpmpp2m":
+            # Payload is [x ‖ old x0_hat] along channels (pack_initial);
+            # only x feeds the UNet. h_last comes from the sigma table —
+            # clamped at step 0 so sigma_prev == sigma selects first order.
+            x32, old_den = jnp.split(lat32, 2, axis=-1)
+            sigma_prev = sigmas[jnp.maximum(step_idx - 1, 0)]
+            timestep = 0.25 * jnp.log(sigma)
+            scaled = x32 * jax.lax.rsqrt(sigma * sigma + 1.0)
+            eps = self.noise_pred(
+                params, scaled, timestep, cond, cfg_axis=cfg_axis,
+                seq_axis=seq_axis, seq_shards=seq_shards,
+                frame_axis=frame_axis, frame_shards=frame_shards,
+            )
+            x_next, denoised = dpmpp2m_step_v_prediction(
+                x32, eps, old_den, sigma_prev, sigma, sigma_next, latent.dtype
+            )
+            return jnp.concatenate([x_next, denoised], axis=-1)
         timestep = 0.25 * jnp.log(sigma)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis,

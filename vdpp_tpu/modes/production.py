@@ -30,10 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("B", "C", "F", "H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
-    p.add_argument("--solver", default="euler", choices=["euler", "heun"],
-                   help="ODE solver: euler (reference semantics) or heun "
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"],
+                   help="ODE solver: euler (reference semantics), heun "
                         "(2nd-order EDM, 2 model evals/step — roughly half "
-                        "the steps for the same ODE error)")
+                        "the steps for the same ODE error), or dpmpp2m "
+                        "(2nd-order multistep DPM-Solver++, 1 eval/step)")
     p.add_argument("--preset", default="svd_xt", choices=["svd_xt", "tiny"])
     p.add_argument("--checkpoint", default=None,
                    help="path to converted weights (.npz / orbax dir); random init if omitted")
@@ -204,6 +206,9 @@ def main(argv=None) -> int:
         jax.vmap(lambda k: jax.random.normal(k, (b, f, h, w, c), jnp.float32))(keys)
         * model.init_noise_sigma
     )
+    # dpmpp2m threads its multistep state through the payload channels;
+    # pack_initial/unpack_final are identities for euler/heun.
+    inputs = model.pack_initial(inputs)
 
     pipe = StepPipeline(mesh, step_fn, PipelineConfig(model.num_steps, stages))
 
@@ -216,6 +221,7 @@ def main(argv=None) -> int:
     else:
         out = jax.block_until_ready(pipe.run(bundle, inputs))
     elapsed = time.perf_counter() - t0
+    out = model.unpack_final(out)
 
     for i in range(args.num_samples):
         LOGGER.info("sample %d final latent norm: %.3f", i,

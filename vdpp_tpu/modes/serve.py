@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--latent-hw", type=int, nargs=2, default=[16, 16],
                    metavar=("H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"],
+                   help="ODE solver (see production --solver); dpmpp2m "
+                        "gives 2nd-order accuracy at 1 eval/step — fewer "
+                        "--steps for the same quality per request")
     p.add_argument("--seq-parallel", type=int, default=1,
                    help="token/W sharding width per stage — a "
                         "(stage, seq) mesh (DiT: token shards; SVD: "
@@ -143,14 +148,16 @@ class _Engine:
                 else DiTVideoConfig.joint3d_xl(),
                 cross_attention_dim=self.t5_cfg.d_model,
             )
-            self.model = DiTVideoWrapper(dit_cfg, num_steps=args.steps)
+            self.model = DiTVideoWrapper(dit_cfg, num_steps=args.steps,
+                                         solver=args.solver)
             self.t5 = T5TextEncoder(self.t5_cfg)
             self.t5_params = jax.jit(self.t5.init)(jax.random.key(args.seed + 3))
         else:
             self.unet_cfg = (
                 SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
             )
-            self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps)
+            self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps,
+                                         solver=args.solver)
         self.vae_dec = TemporalVAEDecoder(self.vae_cfg)
         if args.checkpoint:
             from vdpp_tpu.utils.weights import load_params
@@ -263,7 +270,10 @@ class _Engine:
                 guidance_scale=guidance,
             )
             bundle = (self.params, cond)
-        stream = self.pipe.stream(bundle, (1, num_frames, h, w, 4), jnp.float32)
+        # The stream's traced payload shape includes any multistep solver
+        # state packed along channels (dpmpp2m: [x ‖ old x0_hat] = 8).
+        c = 4 * self.model.latent_channel_multiplier
+        stream = self.pipe.stream(bundle, (1, num_frames, h, w, c), jnp.float32)
         evicted = []
         with self.lock:
             winner = self._streams.setdefault(key, stream)
@@ -293,7 +303,7 @@ class _Engine:
                 f"{fp}"
             )
         stream = self._get_stream(num_frames, guidance, prompt)
-        noise = (
+        noise = self.model.pack_initial(
             jax.random.normal(jax.random.key(seed), (1, num_frames, h, w, 4))
             * self.model.init_noise_sigma
         )
@@ -310,6 +320,7 @@ class _Engine:
                 if attempt == 2:
                     raise
                 stream = self._get_stream(num_frames, guidance, prompt)
+        latents = self.model.unpack_final(latents)
         scaled = latents / self.vae_cfg.scaling_factor
         if self.decode_mesh is not None:
             video = self.vae_dec.decode_data_parallel(
