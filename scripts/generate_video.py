@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(2 UNet evals/step, use ~half the --steps); "
                         "dpmpp2m = 2nd-order multistep DPM-Solver++ "
                         "(1 eval/step, use ~half the --steps)")
+    p.add_argument("--deepcache", type=int, default=0, metavar="N",
+                   help="DeepCache-style cached inference: full UNet every "
+                        "N steps, shallow levels in between (0 = off; "
+                        "speed/quality trade — changes outputs)")
+    p.add_argument("--deepcache-split", type=int, default=1,
+                   help="shallow levels the cache steps still compute")
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
@@ -201,7 +207,9 @@ def main(argv=None) -> int:
     # ---- models ----
     t0 = time.perf_counter()
     model = StableVideoUNet(unet_cfg, num_steps=args.steps, cfg_mode=args.cfg_mode,
-                            solver=args.solver)
+                            solver=args.solver,
+                            deepcache_interval=args.deepcache,
+                            deepcache_split=args.deepcache_split)
     clip_enc = CLIPVisionEncoder(clip_cfg)
     vae_enc = VAEEncoder(vae_cfg)
     vae_dec = TemporalVAEDecoder(vae_cfg)

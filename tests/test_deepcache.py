@@ -1,0 +1,223 @@
+"""DeepCache-style cached inference (SVDUNet.apply_cached + wrapper).
+
+The technique (Ma et al. 2023) is BEYOND the reference — an opt-in
+speed/quality trade like --solver. What these tests pin:
+
+* the ``use_full`` branch of apply_cached is the plain forward (parity
+  with ``apply``);
+* a shallow step fed the cache captured at the SAME input reproduces the
+  full forward (the deep path is deterministic, so splicing its own
+  output back in must be an identity up to roundoff);
+* interval=1 (always full) equals the baseline euler run;
+* identity-step schedule padding stays EXACT (the cache cadence counts
+  real steps, so padded and unpadded schedules agree elementwise);
+* the cache rides the pipeline payload: pipelined == single-device
+  oracle (the repo's core design invariant) with the cache lanes packed
+  along channels;
+* the bf16 bitcast lane packing roundtrips exactly;
+* invalid compositions are rejected loudly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vdpp_tpu.models.svd_unet import SVDUNet, SVDUNetConfig
+from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
+from vdpp_tpu.parallel.mesh import make_pipeline_mesh
+from vdpp_tpu.parallel.pipeline import (
+    PipelineConfig,
+    StepPipeline,
+    run_reference_single_device,
+)
+
+B, F, H, W = 1, 3, 16, 16
+STEPS = 4
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = SVDUNetConfig.tiny()
+    unet = SVDUNet(cfg)
+    params = unet.init(jax.random.key(0))
+    return cfg, unet, params
+
+
+@pytest.fixture(scope="module")
+def cond():
+    cfg = SVDUNetConfig.tiny()
+    return make_dummy_conditioning(
+        jax.random.key(1), B, F, H, W,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+
+
+def _run_schedule(model, params, cond_, noise):
+    x = model.pack_initial(noise)
+    for s in range(model.num_steps):
+        x = model.step(params, x, s, cond_)
+    return np.asarray(model.unpack_final(x))
+
+
+def test_full_branch_matches_plain_apply(tiny):
+    cfg, unet, params = tiny
+    x = jax.random.normal(jax.random.key(2), (B, F, H, W, 8))
+    ctx = jax.random.normal(jax.random.key(3), (B, 1, cfg.cross_attention_dim))
+    atids = jnp.zeros((B, 3))
+    ts = jnp.float32(1.3)
+    ref = unet.apply(params, x, ts, ctx, atids)
+    cache0 = jnp.zeros(unet.cache_feature_shape(B, F, H, W, 1), cfg.dtype)
+    out, cache = unet.apply_cached(
+        params, x, ts, ctx, atids, cache0, jnp.bool_(True)
+    )
+    # Same ops, separately compiled programs (lax.cond branch vs straight
+    # line) — fp32 roundoff only.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    assert cache.shape == unet.cache_feature_shape(B, F, H, W, 1)
+
+
+def test_shallow_with_same_input_cache_reproduces_full(tiny):
+    """Splicing the deep feature captured at the SAME input back in must
+    reproduce the full forward — the correctness anchor for the cache
+    plumbing (any skip-tensor misalignment would show here)."""
+    cfg, unet, params = tiny
+    x = jax.random.normal(jax.random.key(4), (B, F, H, W, 8))
+    ctx = jax.random.normal(jax.random.key(5), (B, 1, cfg.cross_attention_dim))
+    atids = jnp.zeros((B, 3))
+    ts = jnp.float32(0.7)
+    cache0 = jnp.zeros(unet.cache_feature_shape(B, F, H, W, 1), cfg.dtype)
+    full, cache = unet.apply_cached(
+        params, x, ts, ctx, atids, cache0, jnp.bool_(True)
+    )
+    shallow, cache_out = unet.apply_cached(
+        params, x, ts, ctx, atids, cache, jnp.bool_(False)
+    )
+    np.testing.assert_allclose(np.asarray(shallow), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+    # Shallow steps pass the cache through untouched.
+    assert jnp.array_equal(cache, cache_out)
+
+
+def test_interval_one_equals_baseline(tiny, cond):
+    cfg, unet, params = tiny
+    base = StableVideoUNet(cfg, num_steps=STEPS)
+    dc = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=1)
+    noise = (
+        jax.random.normal(jax.random.key(6), (B, F, H, W, 4))
+        * base.init_noise_sigma
+    )
+    r_base = _run_schedule(base, params, cond, noise)
+    r_dc = _run_schedule(dc, params, cond, noise)
+    np.testing.assert_allclose(r_dc, r_base, rtol=1e-4, atol=1e-5)
+
+
+def test_interval_two_deviates_but_stays_finite(tiny, cond):
+    """interval=2 actually takes the shallow branch (outputs differ from
+    the baseline) and stays numerically sane — the opt-in trade the flag
+    documents."""
+    cfg, unet, params = tiny
+    base = StableVideoUNet(cfg, num_steps=6)
+    dc = StableVideoUNet(cfg, num_steps=6, deepcache_interval=2)
+    noise = (
+        jax.random.normal(jax.random.key(7), (B, F, H, W, 4))
+        * base.init_noise_sigma
+    )
+    r_base = _run_schedule(base, params, cond, noise)
+    r_dc = _run_schedule(dc, params, cond, noise)
+    assert np.isfinite(r_dc).all()
+    dev = np.linalg.norm(r_dc - r_base) / np.linalg.norm(r_base)
+    assert 0.0 < dev < 1.0, dev  # different, same order of magnitude
+
+
+def test_padded_schedule_matches_unpadded_exactly(tiny, cond):
+    """The cache cadence counts REAL steps (identity-padded leading steps
+    clamp to real index 0), so padding changes nothing elementwise."""
+    cfg, unet, params = tiny
+    dc = StableVideoUNet(cfg, num_steps=6, deepcache_interval=2)
+    dcp = StableVideoUNet(cfg, num_steps=6, pad_steps_to=4,
+                          deepcache_interval=2)
+    assert dcp.num_steps == 8
+    noise = (
+        jax.random.normal(jax.random.key(8), (B, F, H, W, 4))
+        * dc.init_noise_sigma
+    )
+    a = _run_schedule(dc, params, cond, noise)
+    b = _run_schedule(dcp, params, cond, noise)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_stage_invariance_with_deepcache(tiny, cond):
+    """The cache lanes ride the stage hand-off packed along channels:
+    pipelined == single-device oracle, the repo's core invariant."""
+    cfg, unet, params = tiny
+    model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2)
+    step_fn = model.pipeline_step_fn()
+    bundle = (params, cond)
+    noise = (
+        jax.random.normal(jax.random.key(9), (2, B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    inputs = model.pack_initial(noise)
+    assert inputs.shape[-1] == 4 + model.payload_extra_channels
+    ref = run_reference_single_device(step_fn, bundle, inputs, STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(STEPS, 2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    final = model.unpack_final(out)
+    assert final.shape == noise.shape
+
+
+def test_batched_cfg_mode_runs(tiny, cond):
+    """cfg_mode='batched' carries both branch caches stacked on the batch
+    axis through one UNet call; output stays close to sequential (same
+    math, different fusion)."""
+    cfg, unet, params = tiny
+    seqm = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2)
+    batm = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2,
+                           cfg_mode="batched")
+    noise = (
+        jax.random.normal(jax.random.key(10), (B, F, H, W, 4))
+        * seqm.init_noise_sigma
+    )
+    a = _run_schedule(seqm, params, cond, noise)
+    b = _run_schedule(batm, params, cond, noise)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_cache_lane_packing_roundtrips_exactly():
+    """bf16 caches bit-pack two-per-fp32 payload word
+    (lax.bitcast_convert_type) — the roundtrip must be bitwise."""
+    cfg = dataclasses.replace(SVDUNetConfig.tiny(), dtype=jnp.bfloat16)
+    model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2)
+    shape = model.unet.cache_feature_shape(B, F, H, W, 1)
+    cache = jax.random.normal(jax.random.key(11), shape, jnp.bfloat16)
+    packed = model._pack_cache(cache, H, W)
+    assert packed.dtype == jnp.float32
+    assert packed.shape[-1] == model._deepcache_packed_channels()
+    back = model._unpack_cache(packed, H, W)
+    assert back.dtype == jnp.bfloat16
+    assert jnp.array_equal(back, cache)
+
+
+def test_invalid_compositions_rejected(tiny, cond):
+    cfg, unet, params = tiny
+    with pytest.raises(ValueError, match="solver"):
+        StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2,
+                        solver="heun")
+    with pytest.raises(ValueError, match="split"):
+        StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2,
+                        deepcache_split=cfg.num_levels)
+    model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2)
+    noise = jnp.zeros((B, F, H, W, 4), jnp.float32)
+    x = model.pack_initial(noise)
+    with pytest.raises(ValueError, match="deepcache"):
+        model.step(params, x, 0, cond, seq_axis="seq")
+    with pytest.raises(ValueError, match="fp32"):
+        model.pack_initial(noise.astype(jnp.bfloat16))

@@ -97,6 +97,34 @@ def test_production_mode_dpmpp2m():
     assert "final latent norm" in r.stderr + r.stdout
 
 
+def test_production_mode_deepcache():
+    """--deepcache 2: the deep-feature cache rides extra payload channels
+    through the pipeline; this pins the CLI wiring end-to-end (unit
+    invariants in tests/test_deepcache.py)."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
+        "--num-stages", "2", "--total-steps", "6", "--num-samples", "1",
+        "--deepcache", "2", "--guidance-scale", "3",
+        "--latent-shape", "1", "4", "2", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final latent norm" in r.stderr + r.stdout
+
+
+def test_benchmark_mode_deepcache():
+    """--deepcache on the benchmark CLI: the BENCHMARK_JSON surface is
+    produced with the cached-step program (timing the shape users would
+    actually deploy for the speed/quality trade)."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",
+        "--model", "svd_tiny", "--deepcache", "2", "--guidance-scale", "3",
+        "--num-stages", "2", "--total-steps", "4", "--num-samples", "2",
+        "--warmup-samples", "0", "--latent-shape", "1", "4", "2", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "BENCHMARK_JSON=" in r.stdout
+
+
 def test_production_auto_topology():
     """--auto-topology plans the mesh factorization (planner unit tests
     in tests/test_topology.py; this pins the CLI wiring end-to-end)."""

@@ -658,3 +658,164 @@ class SVDUNet:
         if frame_axis is not None:
             x = jax.lax.all_gather(x, frame_axis, axis=1, tiled=True)
         return x
+
+    # ------------------- cached (DeepCache-style) apply ---------------- #
+    def cache_feature_shape(
+        self, batch: int, frames: int, height: int, width: int, split: int
+    ) -> tuple[int, ...]:
+        """Natural shape of the deep-feature cache for ``split`` shallow
+        levels: the tensor entering up block ``n_levels - split`` — i.e.
+        the output of the up path's deep half, at resolution
+        ``H/2^(split-1)`` with ``block_out_channels[split]`` channels."""
+        cfg = self.config
+        if not 1 <= split <= cfg.num_levels - 1:
+            raise ValueError(
+                f"deepcache split must be in [1, {cfg.num_levels - 1}], "
+                f"got {split}"
+            )
+        r = 2 ** (split - 1)
+        return (batch, frames, height // r, width // r,
+                cfg.block_out_channels[split])
+
+    def apply_cached(
+        self,
+        params: dict,
+        sample: jax.Array,
+        timestep: jax.Array,
+        encoder_hidden_states: jax.Array,
+        added_time_ids: jax.Array,
+        cache: jax.Array,
+        use_full: jax.Array,
+        split: int = 1,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Denoise one step with a deep-feature cache (DeepCache-style
+        cached inference: Ma et al. 2023, "DeepCache: Accelerating
+        Diffusion Models for Free").
+
+        Exploits the temporal redundancy of the denoising trajectory: the
+        UNet's DEEP features change slowly across adjacent steps while the
+        shallow (high-resolution) features carry the step-to-step detail.
+        On a *full* step (``use_full`` true) the complete UNet runs and the
+        tensor entering up block ``n_levels - split`` is captured as the
+        cache; on a *cache* step only the shallow ``split`` down levels and
+        the last ``split`` up blocks run, splicing the cached deep feature
+        in — skipping the deep down levels, the mid block, and the deep up
+        blocks entirely.
+
+        TPU-native shape: ``use_full`` is a TRACED bool and the two
+        variants are the branches of one ``jax.lax.cond`` — both compile
+        once inside the pipeline's ``lax.scan`` step body and the runtime
+        executes only the selected branch, so cache steps really do save
+        the deep compute (no masked-out dead work). Cross-step state
+        threads through the pipeline payload exactly like dpmpp2m's
+        multistep state (svd_wrapper pack/unpack).
+
+        Unsharded only (no seq/frame/cfg axes) — the wrapper rejects the
+        combinations. The ``use_full`` branch is elementwise-identical to
+        :meth:`apply` (pinned in tests/test_deepcache.py).
+
+        Args:
+            cache: ``cache_feature_shape(...)``-shaped deep feature from
+                the most recent full step (don't-care on full steps).
+            use_full: traced scalar bool — run the full UNet and refresh
+                the cache, vs reuse it on the shallow path.
+            split: number of shallow down levels (and up blocks) the cache
+                step still computes; 1 = cheapest (only the top level).
+
+        Returns:
+            ``(v_prediction (B,F,H,W,C_out), new_cache)``.
+        """
+        cfg = self.config
+        n_levels = cfg.num_levels
+        b, f, hh, ww, _ = sample.shape
+        want = self.cache_feature_shape(b, f, hh, ww, split)
+        if tuple(cache.shape) != want:
+            raise ValueError(f"cache shape {cache.shape} != expected {want}")
+        heads = cfg.num_attention_heads
+        u_start = n_levels - split  # first up block the shallow path runs
+
+        # --- embeddings (identical to apply()) ---
+        t = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)), (b,)
+        )
+        t_emb = sinusoidal_embedding(t, cfg.block_out_channels[0]).astype(cfg.dtype)
+        emb = timestep_mlp(t_emb, params["time_embedding"])
+        add_flat = added_time_ids.astype(jnp.float32).reshape(-1)
+        add_emb = sinusoidal_embedding(add_flat, cfg.addition_time_embed_dim)
+        add_emb = add_emb.reshape(b, -1).astype(cfg.dtype)
+        emb = emb + timestep_mlp(add_emb, params["add_embedding"])
+        emb_f = jnp.repeat(emb, f, axis=0)
+        ctx_f = jnp.repeat(encoder_hidden_states.astype(cfg.dtype), f, axis=0)
+
+        x_in = sample.astype(cfg.dtype).reshape(b * f, hh, ww, sample.shape[-1])
+        rev_heads = list(reversed(heads))
+
+        def down_levels(x, n: int, run_last_downsample: bool):
+            """conv_in + down levels 0..n-1; the last level's downsample
+            conv runs only when the path continues deeper (its output skip
+            feeds an up block the shallow path never reaches)."""
+            x = conv2d(x, params["conv_in"])
+            res_stack = [x]
+            for i in range(n):
+                block = params["down_blocks"][i]
+                has_attn = i < n_levels - 1
+                for j, res_p in enumerate(block["resnets"]):
+                    x = _st_resblock(res_p, x, emb_f, cfg, b, f)
+                    if has_attn:
+                        x = _st_transformer(
+                            block["attentions"][j], x, ctx_f, cfg, heads[i], b, f
+                        )
+                    res_stack.append(x)
+                if "downsample" in block and (i < n - 1 or run_last_downsample):
+                    x = conv2d(x, block["downsample"], stride=2,
+                               padding=((1, 1), (1, 1)))
+                    res_stack.append(x)
+            return x, res_stack
+
+        def up_blocks_range(x, res_stack, start: int, stop: int):
+            for i in range(start, stop):
+                block = params["up_blocks"][i]
+                has_attn = i > 0
+                for j, res_p in enumerate(block["resnets"]):
+                    skip = res_stack.pop()
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = _st_resblock(res_p, x, emb_f, cfg, b, f)
+                    if has_attn:
+                        x = _st_transformer(
+                            block["attentions"][j], x, ctx_f, cfg,
+                            rev_heads[i], b, f,
+                        )
+                if "upsample" in block:
+                    x = upsample_nearest_2x(x)
+                    x = conv2d(x, block["upsample"])
+            return x
+
+        def head(x):
+            x = group_norm_silu(x, params["conv_norm_out"], cfg.norm_num_groups,
+                                cfg.out_norm_eps, fused=cfg.fused_groupnorm)
+            x = conv2d(x, params["conv_out"])
+            return x.reshape(b, f, hh, ww, cfg.out_channels)
+
+        def full_branch(operand):
+            x, _unused_cache = operand
+            x, res_stack = down_levels(x, n_levels, run_last_downsample=True)
+            mid = params["mid_block"]
+            x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f)
+            x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg,
+                                heads[-1], b, f)
+            x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f)
+            x = up_blocks_range(x, res_stack, 0, u_start)
+            new_cache = x.reshape(want).astype(cfg.dtype)
+            x = up_blocks_range(x, res_stack, u_start, n_levels)
+            return head(x), new_cache
+
+        def shallow_branch(operand):
+            x, cached = operand
+            x, res_stack = down_levels(x, split, run_last_downsample=False)
+            deep = cached.reshape(b * f, *want[2:])
+            x = up_blocks_range(deep, res_stack, u_start, n_levels)
+            return head(x), cached
+
+        return jax.lax.cond(
+            use_full, full_branch, shallow_branch, (x_in, cache.astype(cfg.dtype))
+        )

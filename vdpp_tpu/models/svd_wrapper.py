@@ -157,11 +157,20 @@ class StableVideoUNet:
         cfg_mode: str = "sequential",
         pad_steps_to: int | None = None,
         solver: str = "euler",
+        deepcache_interval: int = 0,
+        deepcache_split: int = 1,
     ):
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
         if solver not in ("euler", "heun", "dpmpp2m"):
             raise ValueError("solver must be 'euler', 'heun' or 'dpmpp2m'")
+        if deepcache_interval < 0:
+            raise ValueError("deepcache_interval must be >= 0 (0 = off)")
+        if deepcache_interval and solver != "euler":
+            # The cache refresh cadence is defined per MODEL EVAL; heun's
+            # two evals per step and dpmpp2m's multistep state would each
+            # need their own cadence story. Euler-only until measured.
+            raise ValueError("deepcache requires solver='euler'")
         self.config = config or SVDUNetConfig.svd_xt()
         # VDPP_GN_FUSED=1 routes GroupNorm->SiLU pairs through the fused
         # Pallas kernel. Read at CONSTRUCTION (same discipline as
@@ -187,29 +196,104 @@ class StableVideoUNet:
         # previous step's x0_hat rides the pipeline payload packed along
         # the channel axis — scheduler.dpmpp2m_step_v_prediction).
         self.solver = solver
+        # DeepCache-style cached inference (SVDUNet.apply_cached): every
+        # `interval`-th REAL step runs the full UNet and refreshes the deep
+        # feature cache; the rest run only the shallow `split` levels. The
+        # cadence counts from the first real (non-identity-padded) step so
+        # padded and unpadded schedules stay elementwise-identical.
+        self.deepcache_interval = int(deepcache_interval)
+        self.deepcache_split = int(deepcache_split)
+        if deepcache_interval:
+            # Validate split against the architecture up front.
+            self.unet.cache_feature_shape(1, 1, 2 ** self.config.num_levels,
+                                          2 ** self.config.num_levels,
+                                          deepcache_split)
+        self._n_pad = self.schedule.num_steps - num_steps
 
-    # ---- multistep-state payload packing (no-op for one-step solvers) ---- #
+    # ---- cross-step-state payload packing (identity when stateless) ---- #
     @property
     def latent_channel_multiplier(self) -> int:
         """How many latent-sized channel slots the pipeline payload carries
         (2 for dpmpp2m: [x ‖ previous x0_hat])."""
         return 2 if self.solver == "dpmpp2m" else 1
 
-    def pack_initial(self, latent: jax.Array) -> jax.Array:
-        """Attach solver state to a fresh latent before the pipeline runs.
+    def _deepcache_packed_channels(self) -> int:
+        """fp32 payload channels ONE CFG branch's cache packs into.
 
-        For dpmpp2m the old-x0_hat slot starts at zero; the first step's
-        ``sigma_prev == sigma`` (h_last == 0) forces the first-order branch,
-        so the zeros are never read."""
-        if self.latent_channel_multiplier == 1:
-            return latent
-        return jnp.concatenate([latent, jnp.zeros_like(latent)], axis=-1)
+        The cache tensor (B, F, H/r, W/r, C') rides the pipeline payload
+        reshaped onto the latent's (H, W) grid — C'/r^2 values per latent
+        pixel — and, when the model dtype is bf16, bit-packed two-per-fp32
+        (``lax.bitcast_convert_type``: pure bit movement, exact roundtrip)
+        so the fp32 payload doesn't double its footprint. Independent of
+        H/W: r^2 always divides C' for the supported architectures."""
+        r = 2 ** (self.deepcache_split - 1)
+        c = self.config.block_out_channels[self.deepcache_split]
+        per_pixel, rem = divmod(c, r * r)
+        pack = 2 if self.config.dtype == jnp.bfloat16 else 1
+        kf, rem2 = divmod(per_pixel, pack)
+        if rem or rem2:
+            raise ValueError(
+                f"deepcache split {self.deepcache_split}: cache channels "
+                f"{c} not packable onto the latent grid (r={r})"
+            )
+        return kf
+
+    @property
+    def payload_extra_channels(self) -> int:
+        """Channels the pipeline payload carries BEYOND the latent's own
+        (0 when stateless). Serving uses this to size the traced stream
+        payload; dpmpp2m is handled via latent_channel_multiplier."""
+        if self.deepcache_interval:
+            return 2 * self._deepcache_packed_channels()  # uncond ‖ cond
+        return 0
+
+    def pack_initial(self, latent: jax.Array) -> jax.Array:
+        """Attach cross-step solver/cache state to a fresh latent before
+        the pipeline runs.
+
+        dpmpp2m: old-x0_hat slot starts at zero; the first step's
+        ``sigma_prev == sigma`` (h_last == 0) forces the first-order
+        branch, so the zeros are never read. deepcache: both branch cache
+        slots start at zero; the first real step is always a FULL step
+        (real_idx 0), so the zeros are never read either."""
+        if self.latent_channel_multiplier > 1:
+            return jnp.concatenate([latent, jnp.zeros_like(latent)], axis=-1)
+        extra = self.payload_extra_channels
+        if extra:
+            if latent.dtype != jnp.float32:
+                # The bit-packed cache lanes assume fp32 payload words.
+                raise ValueError("deepcache requires an fp32 latent payload")
+            zeros = jnp.zeros((*latent.shape[:-1], extra), latent.dtype)
+            return jnp.concatenate([latent, zeros], axis=-1)
+        return latent
 
     def unpack_final(self, latent: jax.Array) -> jax.Array:
-        """Strip solver state from the pipeline's final payload."""
-        if self.latent_channel_multiplier == 1:
-            return latent
-        return latent[..., : latent.shape[-1] // 2]
+        """Strip cross-step state from the pipeline's final payload."""
+        if self.latent_channel_multiplier > 1:
+            return latent[..., : latent.shape[-1] // 2]
+        extra = self.payload_extra_channels
+        if extra:
+            return latent[..., :-extra]
+        return latent
+
+    # ---- deepcache cache <-> payload lane conversion ---- #
+    def _pack_cache(self, cache: jax.Array, h: int, w: int) -> jax.Array:
+        """(B, F, H/r, W/r, C') model-dtype -> (B, F, H, W, Kf) fp32."""
+        b, f = cache.shape[:2]
+        kf = self._deepcache_packed_channels()
+        if cache.dtype == jnp.bfloat16:
+            pairs = cache.reshape(b, f, h, w, kf, 2)
+            return jax.lax.bitcast_convert_type(pairs, jnp.float32)
+        return cache.reshape(b, f, h, w, kf).astype(jnp.float32)
+
+    def _unpack_cache(self, packed: jax.Array, h: int, w: int) -> jax.Array:
+        """(B, F, H, W, Kf) fp32 -> (B, F, H/r, W/r, C') model-dtype."""
+        b, f = packed.shape[:2]
+        shape = self.unet.cache_feature_shape(b, f, h, w, self.deepcache_split)
+        if self.config.dtype == jnp.bfloat16:
+            pairs = jax.lax.bitcast_convert_type(packed, jnp.bfloat16)
+            return pairs.reshape(shape)
+        return packed.reshape(shape).astype(self.config.dtype)
 
     @property
     def num_steps(self) -> int:
@@ -306,6 +390,63 @@ class StableVideoUNet:
         )
         return blended
 
+    def _noise_pred_cached(
+        self,
+        params: dict,
+        latent_scaled: jax.Array,
+        timestep: jax.Array,
+        cond: SVDConditioning,
+        cache_u: jax.Array,
+        cache_c: jax.Array,
+        use_full: jax.Array,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """noise_pred with a deep-feature cache per CFG branch
+        (SVDUNet.apply_cached). Returns (eps, cache_u', cache_c');
+        without guidance only the cond cache is live."""
+        md = self.config.dtype
+        split = self.deepcache_split
+
+        def call(lat, img_lat, ctx, cache, atids=None):
+            if atids is None:
+                atids = cond.added_time_ids
+            x = jnp.concatenate(
+                [lat.astype(md), img_lat.astype(md)], axis=-1
+            )
+            return self.unet.apply_cached(
+                params, x, timestep, ctx, atids, cache, use_full, split=split
+            )
+
+        if cond.guidance is None:
+            eps, cache_c = call(
+                latent_scaled, cond.image_latents, cond.image_embeddings, cache_c
+            )
+            return eps.astype(jnp.float32), cache_u, cache_c
+
+        zeros_lat = jnp.zeros_like(cond.image_latents)
+        zeros_ctx = jnp.zeros_like(cond.image_embeddings)
+        if self.cfg_mode == "sequential":
+            uncond, cache_u = call(latent_scaled, zeros_lat, zeros_ctx, cache_u)
+            cond_p, cache_c = call(
+                latent_scaled, cond.image_latents, cond.image_embeddings, cache_c
+            )
+        else:  # batched: CFG pair on the batch axis, caches likewise
+            both, cache_b = call(
+                jnp.concatenate([latent_scaled, latent_scaled], axis=0),
+                jnp.concatenate([zeros_lat, cond.image_latents], axis=0),
+                jnp.concatenate([zeros_ctx, cond.image_embeddings], axis=0),
+                jnp.concatenate([cache_u, cache_c], axis=0),
+                jnp.concatenate(
+                    [cond.added_time_ids, cond.added_time_ids], axis=0
+                ),
+            )
+            uncond, cond_p = jnp.split(both, 2, axis=0)
+            cache_u, cache_c = jnp.split(cache_b, 2, axis=0)
+        g = cond.guidance.astype(jnp.float32)
+        blended = uncond.astype(jnp.float32) + g * (
+            cond_p.astype(jnp.float32) - uncond.astype(jnp.float32)
+        )
+        return blended, cache_u, cache_c
+
     def step(
         self,
         params: dict,
@@ -326,6 +467,39 @@ class StableVideoUNet:
         sigma_next = sigmas[step_idx + 1]
 
         lat32 = latent.astype(jnp.float32)
+        if self.deepcache_interval:
+            if cfg_axis or seq_axis or frame_axis:
+                raise ValueError(
+                    "deepcache does not compose with cfg/seq/frame mesh "
+                    "axes yet — run it unsharded (stage/data axes are fine)"
+                )
+            co = self.config.out_channels
+            b, f, h, w = latent.shape[:4]
+            kf = self._deepcache_packed_channels()
+            x32 = lat32[..., :co]
+            cache_u = self._unpack_cache(latent[..., co:co + kf], h, w)
+            cache_c = self._unpack_cache(latent[..., co + kf:], h, w)
+            # Cache cadence counts REAL steps: identity-padded leading
+            # steps clamp to real index 0 (a full step), so the first real
+            # step always refreshes the cache and padded == unpadded.
+            real = jnp.maximum(step_idx - self._n_pad, 0)
+            use_full = (real % self.deepcache_interval) == 0
+            timestep = 0.25 * jnp.log(sigma)
+            scaled = x32 * jax.lax.rsqrt(sigma * sigma + 1.0)
+            eps, cache_u, cache_c = self._noise_pred_cached(
+                params, scaled, timestep, cond, cache_u, cache_c, use_full
+            )
+            x_next = euler_step_v_prediction(
+                x32, eps, sigma, sigma_next, latent.dtype
+            )
+            return jnp.concatenate(
+                [
+                    x_next,
+                    self._pack_cache(cache_u, h, w),
+                    self._pack_cache(cache_c, h, w),
+                ],
+                axis=-1,
+            )
         if self.solver == "heun":
             def eps_fn(scaled, timestep):
                 return self.noise_pred(

@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expert-axis width per stage (MoE dit models): "
                         "expert weights sharded over an 'expert' mesh axis "
                         "(ops/moe.py)")
+    p.add_argument("--deepcache", type=int, default=0, metavar="N",
+                   help="svd models: DeepCache-style cached inference — "
+                        "full UNet every N steps, shallow levels only in "
+                        "between (0 = off; changes outputs, see "
+                        "production --deepcache)")
+    p.add_argument("--deepcache-split", type=int, default=1,
+                   help="shallow levels the cache steps still compute")
     p.add_argument("--weights-int8", action="store_true",
                    help="weight-only int8 quantization (halves parameter "
                         "HBM; ops/quant.py)")
@@ -167,13 +174,20 @@ def _build_model(args, config_dtype):
             f"sp x 2^(levels-1) = {config.seq_min_divisor(sp)} "
             "(halo-exchange W sharding)"
         )
-    model = StableVideoUNet(config, num_steps=args.total_steps)
+    model = StableVideoUNet(
+        config, num_steps=args.total_steps,
+        deepcache_interval=getattr(args, "deepcache", 0),
+        deepcache_split=getattr(args, "deepcache_split", 1),
+    )
     params = jax.jit(model.init)(jax.random.key(args.seed))
     cond = make_dummy_conditioning(
         jax.random.key(args.seed + 1), b, f, h, w,
         cross_dim=config.cross_attention_dim,
         guidance_scale=args.guidance_scale,
     )
+    # DeepCache threads its deep-feature cache through extra payload
+    # channels; step 0 is always a full step, so the random-noise cache
+    # lanes the benchmark feeds are refreshed before first use.
     return (
         model.pipeline_step_fn(
             cfg_axis=cfg_axis,
@@ -181,7 +195,7 @@ def _build_model(args, config_dtype):
             frame_axis="frame" if fp > 1 else None, frame_shards=fp,
         ),
         (params, cond),
-        (b, f, h, w, 4),
+        (b, f, h, w, 4 + model.payload_extra_channels),
         args.model,
     )
 
@@ -208,6 +222,10 @@ def main(argv=None) -> int:
 
     setup_logging(args.log_level)
     enable_persistent_cache()
+    if args.deepcache and args.model not in ("svd_tiny", "svd"):
+        raise SystemExit(
+            "--deepcache is implemented for the SVD UNet family only"
+        )
     step_fn, bundle, latent_cl, model_name = _build_model(args, None)
     w8a8 = getattr(args, "weights_w8a8", False)
     if (getattr(args, "weights_int8", False) or w8a8) and args.model == "dummy":

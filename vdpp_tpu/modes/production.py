@@ -36,6 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(2nd-order EDM, 2 model evals/step — roughly half "
                         "the steps for the same ODE error), or dpmpp2m "
                         "(2nd-order multistep DPM-Solver++, 1 eval/step)")
+    p.add_argument("--deepcache", type=int, default=0, metavar="N",
+                   help="DeepCache-style cached inference: refresh the deep "
+                        "feature cache every N real steps, run only the "
+                        "shallow UNet levels in between (0 = off; changes "
+                        "outputs — an opt-in speed/quality trade like "
+                        "--solver)")
+    p.add_argument("--deepcache-split", type=int, default=1,
+                   help="shallow levels the cache steps still compute "
+                        "(1 = cheapest)")
     p.add_argument("--preset", default="svd_xt", choices=["svd_xt", "tiny"])
     p.add_argument("--checkpoint", default=None,
                    help="path to converted weights (.npz / orbax dir); random init if omitted")
@@ -162,6 +171,8 @@ def main(argv=None) -> int:
         config, num_steps=args.total_steps, cfg_mode=args.cfg_mode,
         pad_steps_to=stages if args.pad_schedule else None,
         solver=args.solver,
+        deepcache_interval=args.deepcache,
+        deepcache_split=args.deepcache_split,
     )
     if model.num_steps != args.total_steps:
         LOGGER.info(

@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ODE solver (see production --solver); dpmpp2m "
                         "gives 2nd-order accuracy at 1 eval/step — fewer "
                         "--steps for the same quality per request")
+    p.add_argument("--deepcache", type=int, default=0, metavar="N",
+                   help="SVD preset only: DeepCache-style cached inference "
+                        "— full UNet every N steps (0 = off; changes "
+                        "outputs, a speed/quality capacity lever)")
+    p.add_argument("--deepcache-split", type=int, default=1,
+                   help="shallow levels the cache steps still compute")
     p.add_argument("--seq-parallel", type=int, default=1,
                    help="token/W sharding width per stage — a "
                         "(stage, seq) mesh (DiT: token shards; SVD: "
@@ -137,6 +143,12 @@ class _Engine:
         self.vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.svd()
 
         if self.is_dit:
+            if args.deepcache:
+                raise SystemExit(
+                    "--deepcache is implemented for the SVD UNet family "
+                    "only (the DiT has no encoder-decoder skip structure "
+                    "to cache across)"
+                )
             import dataclasses
 
             from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
@@ -157,7 +169,9 @@ class _Engine:
                 SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
             )
             self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps,
-                                         solver=args.solver)
+                                         solver=args.solver,
+                                         deepcache_interval=args.deepcache,
+                                         deepcache_split=args.deepcache_split)
         self.vae_dec = TemporalVAEDecoder(self.vae_cfg)
         if args.checkpoint:
             from vdpp_tpu.utils.weights import load_params
@@ -270,9 +284,11 @@ class _Engine:
                 guidance_scale=guidance,
             )
             bundle = (self.params, cond)
-        # The stream's traced payload shape includes any multistep solver
-        # state packed along channels (dpmpp2m: [x ‖ old x0_hat] = 8).
-        c = 4 * self.model.latent_channel_multiplier
+        # The stream's traced payload shape includes any cross-step state
+        # packed along channels (dpmpp2m: [x ‖ old x0_hat] = 8; deepcache:
+        # [x ‖ cache lanes]).
+        c = (4 * self.model.latent_channel_multiplier
+             + getattr(self.model, "payload_extra_channels", 0))
         stream = self.pipe.stream(bundle, (1, num_frames, h, w, c), jnp.float32)
         evicted = []
         with self.lock:
