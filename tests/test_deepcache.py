@@ -206,9 +206,45 @@ def test_bf16_cache_lane_packing_roundtrips_exactly():
     assert jnp.array_equal(back, cache)
 
 
+def test_composes_with_dpmpp2m(tiny, cond):
+    """deepcache x dpmpp2m — the production fast path (half the steps AND
+    cached steps). Payload = [x ‖ old x0_hat ‖ cache lanes]; pipelined ==
+    single-device oracle, and padding exactness survives the composition
+    (padded steps are first-order no-ops AND clamp to real index 0)."""
+    cfg, unet, params = tiny
+    model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2,
+                            solver="dpmpp2m")
+    step_fn = model.pipeline_step_fn()
+    bundle = (params, cond)
+    noise = (
+        jax.random.normal(jax.random.key(12), (2, B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    inputs = model.pack_initial(noise)
+    assert inputs.shape[-1] == 8 + model.payload_extra_channels
+    ref = run_reference_single_device(step_fn, bundle, inputs, STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(STEPS, 2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert model.unpack_final(out).shape == noise.shape
+
+    # Padding exactness for the composition.
+    dc = StableVideoUNet(cfg, num_steps=6, deepcache_interval=2,
+                         solver="dpmpp2m")
+    dcp = StableVideoUNet(cfg, num_steps=6, pad_steps_to=4,
+                          deepcache_interval=2, solver="dpmpp2m")
+    one = noise[0]
+    a = _run_schedule(dc, params, cond, one)
+    b = _run_schedule(dcp, params, cond, one)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_invalid_compositions_rejected(tiny, cond):
     cfg, unet, params = tiny
-    with pytest.raises(ValueError, match="solver"):
+    with pytest.raises(ValueError, match="heun"):
         StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2,
                         solver="heun")
     with pytest.raises(ValueError, match="split"):

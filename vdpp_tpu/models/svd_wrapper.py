@@ -166,11 +166,14 @@ class StableVideoUNet:
             raise ValueError("solver must be 'euler', 'heun' or 'dpmpp2m'")
         if deepcache_interval < 0:
             raise ValueError("deepcache_interval must be >= 0 (0 = off)")
-        if deepcache_interval and solver != "euler":
-            # The cache refresh cadence is defined per MODEL EVAL; heun's
-            # two evals per step and dpmpp2m's multistep state would each
-            # need their own cadence story. Euler-only until measured.
-            raise ValueError("deepcache requires solver='euler'")
+        if deepcache_interval and solver == "heun":
+            # The cache refresh cadence is defined per MODEL EVAL and
+            # heun takes two evals per step (corrector at sigma_next) —
+            # a shallow corrector eval is a different approximation than
+            # the one DeepCache measures. euler and dpmpp2m (one eval per
+            # step each) compose cleanly; heun stays rejected.
+            raise ValueError("deepcache composes with solver euler/dpmpp2m "
+                             "only (heun runs two evals per step)")
         self.config = config or SVDUNetConfig.svd_xt()
         # VDPP_GN_FUSED=1 routes GroupNorm->SiLU pairs through the fused
         # Pallas kernel. Read at CONSTRUCTION (same discipline as
@@ -255,25 +258,26 @@ class StableVideoUNet:
         ``sigma_prev == sigma`` (h_last == 0) forces the first-order
         branch, so the zeros are never read. deepcache: both branch cache
         slots start at zero; the first real step is always a FULL step
-        (real_idx 0), so the zeros are never read either."""
+        (real_idx 0), so the zeros are never read either. The two compose
+        (payload = [x ‖ old x0_hat ‖ cache lanes])."""
+        parts = [latent]
         if self.latent_channel_multiplier > 1:
-            return jnp.concatenate([latent, jnp.zeros_like(latent)], axis=-1)
+            parts.append(jnp.zeros_like(latent))
         extra = self.payload_extra_channels
         if extra:
             if latent.dtype != jnp.float32:
                 # The bit-packed cache lanes assume fp32 payload words.
                 raise ValueError("deepcache requires an fp32 latent payload")
-            zeros = jnp.zeros((*latent.shape[:-1], extra), latent.dtype)
-            return jnp.concatenate([latent, zeros], axis=-1)
-        return latent
+            parts.append(jnp.zeros((*latent.shape[:-1], extra), latent.dtype))
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else latent
 
     def unpack_final(self, latent: jax.Array) -> jax.Array:
         """Strip cross-step state from the pipeline's final payload."""
-        if self.latent_channel_multiplier > 1:
-            return latent[..., : latent.shape[-1] // 2]
         extra = self.payload_extra_channels
         if extra:
-            return latent[..., :-extra]
+            latent = latent[..., :-extra]
+        if self.latent_channel_multiplier > 1:
+            latent = latent[..., : latent.shape[-1] // 2]
         return latent
 
     # ---- deepcache cache <-> payload lane conversion ---- #
@@ -476,9 +480,12 @@ class StableVideoUNet:
             co = self.config.out_channels
             b, f, h, w = latent.shape[:4]
             kf = self._deepcache_packed_channels()
+            # Payload layout: [x ‖ (dpmpp2m old x0_hat) ‖ cache_u ‖ cache_c]
+            n_solver = co * (self.latent_channel_multiplier - 1)
             x32 = lat32[..., :co]
-            cache_u = self._unpack_cache(latent[..., co:co + kf], h, w)
-            cache_c = self._unpack_cache(latent[..., co + kf:], h, w)
+            s0 = co + n_solver
+            cache_u = self._unpack_cache(latent[..., s0:s0 + kf], h, w)
+            cache_c = self._unpack_cache(latent[..., s0 + kf:], h, w)
             # Cache cadence counts REAL steps: identity-padded leading
             # steps clamp to real index 0 (a full step), so the first real
             # step always refreshes the cache and padded == unpadded.
@@ -489,12 +496,21 @@ class StableVideoUNet:
             eps, cache_u, cache_c = self._noise_pred_cached(
                 params, scaled, timestep, cond, cache_u, cache_c, use_full
             )
-            x_next = euler_step_v_prediction(
-                x32, eps, sigma, sigma_next, latent.dtype
-            )
+            if self.solver == "dpmpp2m":
+                old_den = lat32[..., co:s0]
+                sigma_prev = sigmas[jnp.maximum(step_idx - 1, 0)]
+                x_next, denoised = dpmpp2m_step_v_prediction(
+                    x32, eps, old_den, sigma_prev, sigma, sigma_next,
+                    latent.dtype,
+                )
+                head = jnp.concatenate([x_next, denoised], axis=-1)
+            else:
+                head = euler_step_v_prediction(
+                    x32, eps, sigma, sigma_next, latent.dtype
+                )
             return jnp.concatenate(
                 [
-                    x_next,
+                    head,
                     self._pack_cache(cache_u, h, w),
                     self._pack_cache(cache_c, h, w),
                 ],
