@@ -32,6 +32,7 @@ Env knobs: VDPP_BENCH_FRAMES, VDPP_BENCH_H, VDPP_BENCH_W (latent dims),
 VDPP_BENCH_STEPS, VDPP_BENCH_VIDEOS, VDPP_BENCH_MAX_VIDEOS,
 VDPP_BENCH_GUIDANCE, VDPP_BENCH_CFG_MODE (sequential|batched),
 VDPP_BENCH_PRESET (full|tiny), VDPP_BENCH_SECONDARY (1|0),
+VDPP_BENCH_SOLVER (euler|heun|dpmpp2m), VDPP_BENCH_DEEPCACHE (int),
 VDPP_BENCH_BASELINE_SEC.
 """
 
@@ -101,7 +102,16 @@ def measure_config(
     from vdpp_tpu.models.svd_wrapper import StableVideoUNet, make_dummy_conditioning
     from vdpp_tpu.utils.memory import compiled_memory_analysis
 
-    model = StableVideoUNet(config, num_steps=steps, cfg_mode=cfg_mode)
+    # Opt-in output-changing levers for MANUAL A/B runs (construction-time
+    # env reads, CLAUDE.md discipline). The DRIVER metric stays euler +
+    # no-deepcache: these change outputs, so they are not the contract.
+    solver = os.environ.get("VDPP_BENCH_SOLVER", "euler")
+    deepcache = int(os.environ.get("VDPP_BENCH_DEEPCACHE", "0"))
+    if solver != "euler" or deepcache:
+        log(f"[{label}] OPT-IN levers: solver={solver} deepcache={deepcache} "
+            "(output-changing; not the driver metric)")
+    model = StableVideoUNet(config, num_steps=steps, cfg_mode=cfg_mode,
+                            solver=solver, deepcache_interval=deepcache)
     t0 = time.perf_counter()
     params = jax.block_until_ready(jax.jit(model.init)(jax.random.key(0)))
     log(f"[{label}] init: {time.perf_counter() - t0:.1f}s")
@@ -133,7 +143,7 @@ def measure_config(
         return out
 
     def fresh_noise(seed: int):
-        return (
+        return model.pack_initial(
             jax.random.normal(
                 jax.random.key(seed), (1, frames, lat_h, lat_w, 4), jnp.float32
             )
