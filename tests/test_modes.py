@@ -125,6 +125,30 @@ def test_benchmark_mode_deepcache():
     assert "BENCHMARK_JSON=" in r.stdout
 
 
+def test_production_mode_state_resume(tmp_path):
+    """--ticked --state-path snapshots the pipeline state every tick;
+    --resume picks up from the last snapshot (here: the final tick, so
+    the resumed run emits 0 remaining samples and exits cleanly).
+    True mid-run bit-exact resume is pinned at the API level in
+    tests/test_resume.py."""
+    state = str(tmp_path / "state.npz")
+    base = [
+        "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
+        "--num-stages", "2", "--total-steps", "4", "--num-samples", "2",
+        "--latent-shape", "1", "4", "2", "16", "16", "--ticked",
+        "--state-path", state,
+    ]
+    r = run_cli(base, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final latent norm" in r.stderr + r.stdout
+    import os
+
+    assert os.path.exists(state)
+    r2 = run_cli(base + ["--resume"], timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resuming at tick" in r2.stderr + r2.stdout
+
+
 def test_production_auto_topology():
     """--auto-topology plans the mesh factorization (planner unit tests
     in tests/test_topology.py; this pins the CLI wiring end-to-end)."""

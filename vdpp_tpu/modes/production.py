@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -73,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "--guidance-scale; uses 2x the devices per stage)")
     p.add_argument("--ticked", action="store_true",
                    help="host-stepped schedule with per-tick timing")
+    p.add_argument("--state-path", default=None,
+                   help="with --ticked: snapshot the pipeline state "
+                        "(tick index + stage payload ring) here every "
+                        "--state-every ticks — preemption recovery "
+                        "(utils/resume.py)")
+    p.add_argument("--state-every", type=int, default=1,
+                   help="ticks between snapshots (default every tick)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --state-path if it exists (emits the "
+                        "remaining samples bit-identically)")
     p.add_argument("--pad-schedule", action="store_true",
                    help="allow total-steps not divisible by the stage count "
                         "by prepending exact-identity steps")
@@ -223,23 +234,57 @@ def main(argv=None) -> int:
 
     pipe = StepPipeline(mesh, step_fn, PipelineConfig(model.num_steps, stages))
 
+    if args.state_path and not args.ticked:
+        raise SystemExit("--state-path needs --ticked (the fused executor "
+                         "runs the whole schedule in one program — there "
+                         "is no host-visible state between ticks)")
+    first_sample = 0
     t0 = time.perf_counter()
     if args.ticked:
-        out, tick_times = pipe.run_ticked(bundle, inputs)
+        start_tick, init_buf = 0, None
+        on_tick = None
+        if args.state_path:
+            from vdpp_tpu.utils.resume import (
+                load_pipeline_state,
+                save_pipeline_state,
+            )
+
+            if args.resume and os.path.exists(args.state_path):
+                last_tick, buf0, meta = load_pipeline_state(args.state_path)
+                start_tick, init_buf = last_tick + 1, buf0
+                first_sample = max(start_tick - (stages - 1), 0)
+                LOGGER.info("resuming at tick %d (samples %d.. remain; %s)",
+                            start_tick, first_sample, meta)
+            every = max(args.state_every, 1)
+
+            def on_tick(t, buf):
+                if (t + 1) % every == 0:
+                    save_pipeline_state(
+                        args.state_path, t, buf,
+                        meta={"total_steps": model.num_steps,
+                              "stages": stages,
+                              "num_samples": args.num_samples},
+                    )
+
+        out, tick_times = pipe.run_ticked(
+            bundle, inputs, start_tick=start_tick, initial_buf=init_buf,
+            on_tick=on_tick,
+        )
         jax.block_until_ready(out)
         for i, dt in enumerate(tick_times):
-            LOGGER.info("tick %d: %.1f ms", i, dt * 1e3)
+            LOGGER.info("tick %d: %.1f ms", start_tick + i, dt * 1e3)
     else:
         out = jax.block_until_ready(pipe.run(bundle, inputs))
     elapsed = time.perf_counter() - t0
     out = model.unpack_final(out)
 
-    for i in range(args.num_samples):
-        LOGGER.info("sample %d final latent norm: %.3f", i,
+    emitted = out.shape[0]
+    for i in range(emitted):
+        LOGGER.info("sample %d final latent norm: %.3f", first_sample + i,
                     float(jnp.linalg.norm(out[i].astype(jnp.float32))))
     LOGGER.info(
         "%d samples in %.2fs (%.2fs/video incl. compile; bubble %.1f%%)",
-        args.num_samples, elapsed, elapsed / args.num_samples,
+        emitted, elapsed, elapsed / max(emitted, 1),
         100 * pipe.config.bubble_fraction(args.num_samples),
     )
     return 0

@@ -347,18 +347,32 @@ class StepPipeline:
         bundle)."""
         return PipelineStream(self, params, latent_shape, dtype)
 
-    def run_ticked(self, params, inputs: jax.Array, on_sample=None):
+    def run_ticked(self, params, inputs: jax.Array, on_sample=None,
+                   start_tick: int = 0, initial_buf: jax.Array | None = None,
+                   on_tick=None):
         """Host-stepped execution returning per-tick wall-clock times.
 
         Returns:
-            (outputs (N, *latent), tick_seconds list[num_ticks]).
-            Sample ``i`` completes at tick ``i + S - 1``.
+            (outputs, tick_seconds) where ``outputs`` stacks the samples
+            finishing at ticks ``>= max(start_tick, S-1)`` (all N samples
+            when ``start_tick == 0``). Sample ``i`` completes at tick
+            ``i + S - 1``.
 
         ``on_sample(idx, latent)``: optional callback fired the moment
         sample ``idx`` finishes, with its (still device-resident, possibly
         not-yet-computed — JAX async dispatch) latent. Dispatching
         downstream work (e.g. VAE decode on a reserved device subset)
         from the callback overlaps it with the remaining pipeline ticks.
+
+        ``start_tick``/``initial_buf``/``on_tick``: mid-schedule
+        checkpoint/resume for preemptible pools. The host-visible state
+        between ticks is exactly ``(t, buf)`` — the stage-sharded payload
+        ring (the reference's per-rank in-transit latent, which its
+        process-per-rank design cannot snapshot at all). ``on_tick(t,
+        buf)`` fires after tick ``t`` completes; persist ``buf`` there
+        (utils/resume.py) and resume by passing it back as
+        ``initial_buf`` with ``start_tick = t + 1``. Resumed runs emit
+        bit-identical remaining samples (tests/test_resume.py).
         """
         import time
 
@@ -376,13 +390,22 @@ class StepPipeline:
             self._jitted[key] = self._build_tick(N)
         tick_fn = self._jitted[key]
 
-        buf = jnp.zeros((S, *inputs.shape[1:]), inputs.dtype)
-        # Warm the compile outside the timed loop.
+        if initial_buf is not None:
+            if tuple(initial_buf.shape) != (S, *inputs.shape[1:]):
+                raise ValueError(
+                    f"initial_buf shape {initial_buf.shape} != "
+                    f"{(S, *inputs.shape[1:])}"
+                )
+            buf = jnp.asarray(initial_buf, inputs.dtype)
+        else:
+            buf = jnp.zeros((S, *inputs.shape[1:]), inputs.dtype)
+        # Warm the compile outside the timed loop (tick_fn is functional —
+        # the discarded warm tick does not advance buf).
         jax.block_until_ready(tick_fn(params, inputs, buf, jnp.int32(0)))
 
         outputs = []
         tick_times = []
-        for t in range(cfg.num_ticks(N)):
+        for t in range(start_tick, cfg.num_ticks(N)):
             t0 = time.perf_counter()
             buf, emitted = tick_fn(params, inputs, buf, jnp.int32(t))
             jax.block_until_ready(buf)
@@ -391,6 +414,10 @@ class StepPipeline:
                 outputs.append(emitted[S - 1])
                 if on_sample is not None:
                     on_sample(t - (S - 1), emitted[S - 1])
+            if on_tick is not None:
+                on_tick(t, buf)
+        if not outputs:  # resume at/after the final tick: nothing left
+            return jnp.zeros((0, *inputs.shape[1:]), inputs.dtype), tick_times
         return jnp.stack(outputs), tick_times
 
 

@@ -10,16 +10,45 @@ a cold process.
 
 The reference has no analogue (its "first-sample kernel JIT" cost of
 700-900 ms recurs every process, reference: EXPERIMENT_REPORT.md:228-237).
+
+The cache directory is scoped by a HOST FINGERPRINT (platform + CPU
+flags): XLA:CPU AOT executables embed the build host's instruction-set
+features, and loading one compiled on a wider-ISA machine can SIGILL or
+segfault outright (observed 2026-08-18: the full test suite segfaulted
+in ``compilation_cache.get_executable_and_time`` deserializing an
+avx512-built executable on a narrower host). Different hosts now get
+disjoint cache subdirectories instead of sharing poisoned artifacts.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-DEFAULT_DIR = os.path.join(
+DEFAULT_BASE = os.path.join(
     os.environ.get("VDPP_CACHE_HOME", os.path.expanduser("~/.cache")),
     "vdpp_tpu_xla",
 )
+
+
+def _host_fingerprint() -> str:
+    """Short stable id of this host's execution target (CPU flags +
+    platform): the bits that decide whether a cached CPU executable can
+    legally run here."""
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    # sort: flag ORDER is boot-dependent, the SET is not
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
@@ -29,7 +58,9 @@ def enable_persistent_cache(path: str | None = None) -> str:
 
     if os.environ.get("VDPP_COMPILE_CACHE") == "0":
         return ""
-    path = path or os.environ.get("VDPP_COMPILE_CACHE_DIR") or DEFAULT_DIR
+    path = path or os.environ.get("VDPP_COMPILE_CACHE_DIR")
+    if not path:
+        path = os.path.join(DEFAULT_BASE, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
