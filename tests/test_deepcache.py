@@ -242,6 +242,26 @@ def test_composes_with_dpmpp2m(tiny, cond):
     np.testing.assert_array_equal(a, b)
 
 
+def test_composes_with_int8_weights(tiny, cond):
+    """deepcache x weight-only int8 (the serving capacity combo): both
+    branches of the lax.cond read the same quantized leaves; the run must
+    match the full-precision deepcache run loosely and stay finite."""
+    from vdpp_tpu.ops.quant import quantize_tree
+
+    cfg, unet, params = tiny
+    model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2)
+    noise = (
+        jax.random.normal(jax.random.key(13), (B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    ref = _run_schedule(model, params, cond, noise)
+    q = _run_schedule(model, quantize_tree(params), cond, noise)
+    assert np.isfinite(q).all()
+    # int8 weight rounding: same trajectory, quantization-level deviation.
+    dev = np.linalg.norm(q - ref) / np.linalg.norm(ref)
+    assert dev < 0.2, dev
+
+
 def test_invalid_compositions_rejected(tiny, cond):
     cfg, unet, params = tiny
     with pytest.raises(ValueError, match="heun"):
