@@ -149,6 +149,20 @@ def test_production_mode_state_resume(tmp_path):
     assert "resuming at tick" in r2.stderr + r2.stdout
 
 
+def test_generate_video_long_segments():
+    """Autoregressive long-video chaining: K segments re-conditioned on
+    the previous segment's last decoded frame stitch to
+    F + (K-1)*(F-1) frames (beyond the reference's single-window demo)."""
+    r = run_cli([
+        "scripts/generate_video_long.py", "--random-weights", "--preset", "tiny",
+        "--backend", "cpu", "--num-frames", "4", "--steps", "4",
+        "--num-stages", "2", "--segments", "2", "--width", "64",
+        "--height", "64",
+    ], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 segments -> 7 frames" in r.stderr + r.stdout
+
+
 def test_production_auto_topology():
     """--auto-topology plans the mesh factorization (planner unit tests
     in tests/test_topology.py; this pins the CLI wiring end-to-end)."""
