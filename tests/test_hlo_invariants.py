@@ -166,6 +166,53 @@ def test_no_per_tick_collectives_beyond_the_ring(compiled_text):
         assert "while" not in ln, f"per-tick all-reduce: {ln[:200]}"
 
 
+def test_deepcache_pipeline_keeps_ring_and_real_branches():
+    """The deepcache x dpmpp2m payload (extra channel lanes) must not
+    change the pipeline's comm structure — still exactly one per-tick
+    ring collective-permute — and the lax.cond full/shallow switch must
+    survive to a compiled ``conditional`` (runtime branch selection, not
+    a flattened select that would execute BOTH UNet variants every
+    step)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a 2-device mesh")
+    from vdpp_tpu.models.svd_unet import SVDUNetConfig
+    from vdpp_tpu.models.svd_wrapper import (
+        StableVideoUNet,
+        make_dummy_conditioning,
+    )
+
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=4, cfg_mode="sequential",
+                            solver="dpmpp2m", deepcache_interval=2)
+    params = jax.eval_shape(model.init, jax.random.key(0))
+    cond = make_dummy_conditioning(
+        jax.random.key(1), 1, 3, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), model.pipeline_step_fn(),
+        PipelineConfig(total_steps=4, num_stages=2),
+    )
+    runner = pipe._build(2)
+    c = 8 + model.payload_extra_channels
+    x = jax.ShapeDtypeStruct((2, 1, 3, 16, 16, c), jnp.float32)
+    text = runner.lower((params, cond), x).compile().as_text()
+
+    op_lines = [
+        ln for ln in text.splitlines()
+        if re.search(r"=.* collective-permute\(", ln)
+    ]
+    ring = [ln for ln in op_lines
+            if re.search(r"source_target_pairs=\{\{0,1\},\{1,0\}\}", ln)]
+    assert len(ring) >= 1, "ring hand-off missing from the deepcache program"
+    assert "conditional(" in text, (
+        "lax.cond was flattened away — cache steps would pay for the "
+        "full UNet"
+    )
+    for bad in ("all-gather(", "all-to-all("):
+        assert bad not in text
+
+
 # --------------------------------------------------------------------- #
 # Topology-planner comm census vs lowered StableHLO (round 4): the
 # planner's per-axis discounts must rest on pinned collective counts,
