@@ -143,6 +143,11 @@ def main(argv=None) -> int:
         LOGGER.info("auto-topology ignored: explicit axis flags given")
     sp = args.seq_parallel
     fp = args.frame_parallel
+    if args.deepcache and (sp > 1 or fp > 1 or args.cfg_parallel):
+        raise SystemExit(
+            "--deepcache does not compose with --seq-parallel/"
+            "--frame-parallel/--cfg-parallel yet (stage/data axes are fine)"
+        )
     if sp > 1 and w % config.seq_min_divisor(sp) != 0:
         raise SystemExit(
             f"--seq-parallel {sp}: latent width {w} must divide by "
