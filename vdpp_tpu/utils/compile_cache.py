@@ -11,13 +11,16 @@ a cold process.
 The reference has no analogue (its "first-sample kernel JIT" cost of
 700-900 ms recurs every process, reference: EXPERIMENT_REPORT.md:228-237).
 
-The cache directory is scoped by a HOST FINGERPRINT (platform + CPU
-flags): XLA:CPU AOT executables embed the build host's instruction-set
-features, and loading one compiled on a wider-ISA machine can SIGILL or
-segfault outright (observed 2026-08-18: the full test suite segfaulted
-in ``compilation_cache.get_executable_and_time`` deserializing an
-avx512-built executable on a narrower host). Different hosts now get
-disjoint cache subdirectories instead of sharing poisoned artifacts.
+The cache is TPU-only. XLA:CPU AOT executables embed instruction-set
+features of the COMPILE target, which can exceed what the loader detects
+on the execution host — deserializing such an entry segfaults (observed
+2026-08-18, three suite runs dying in ``get_executable_and_time``, the
+last on a SAME-HOST entry written minutes earlier by another process;
+the loader itself warns "could lead to execution errors such as
+SIGILL"). CPU compiles are seconds anyway; the cache exists for the
+2-6 minute remote-tunnel TPU compiles, where it is kept. Directories are
+additionally scoped by a host fingerprint so hosts never share entries.
+``VDPP_COMPILE_CACHE=1`` forces the cache on for any backend.
 """
 
 from __future__ import annotations
@@ -56,7 +59,17 @@ def enable_persistent_cache(path: str | None = None) -> str:
     cache directory. Set ``VDPP_COMPILE_CACHE=0`` to disable."""
     import jax
 
-    if os.environ.get("VDPP_COMPILE_CACHE") == "0":
+    knob = os.environ.get("VDPP_COMPILE_CACHE")
+    if knob == "0":
+        return ""
+    # CPU-backend executables are not reliably (de)serializable on this
+    # host class (see module docstring) — and recompile in seconds. Only
+    # the (remote, minutes-per-compile) TPU backend gets the disk cache,
+    # unless explicitly forced.
+    platform = (
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+    ).split(",")[0]
+    if platform == "cpu" and knob != "1":
         return ""
     path = path or os.environ.get("VDPP_COMPILE_CACHE_DIR")
     if not path:
