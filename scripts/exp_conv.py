@@ -30,11 +30,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vdpp_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()
-
-
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -53,6 +48,11 @@ def main():
 
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+    # Cache enable must follow the backend choice: the policy is
+    # per-platform (TPU-only, utils/compile_cache.py).
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     dev = jax.devices()[0]

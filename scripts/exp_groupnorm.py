@@ -29,10 +29,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vdpp_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()
-
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -61,6 +57,13 @@ def main():
 
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+    # Enable the cache only AFTER the backend choice is final: the cache
+    # policy is per-platform (TPU-only — utils/compile_cache.py), and an
+    # import-time enable would evaluate it against the sitecustomize's
+    # pinned platform rather than --backend.
+    from vdpp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from vdpp_tpu.ops.norm_kernel import group_norm_silu_fused

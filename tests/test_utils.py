@@ -146,3 +146,23 @@ def test_bench_dead_tunnel_fast_fails_with_parseable_json(monkeypatch, capsys):
     assert payload["vs_baseline"] == 0.0
     assert "NOT MEASURED" in payload["metric"]
     assert "error" in payload
+
+
+def test_compile_cache_policy():
+    """Disk-cache policy: only explicit TPU-class platforms qualify.
+
+    An UNSET platform must NOT enable the cache — JAX's implicit default
+    backend is then the CPU, whose AOT executables segfault on
+    cross-process deserialization on this host class (the 2026-08-18
+    suite incident utils/compile_cache.py documents)."""
+    from vdpp_tpu.utils.compile_cache import cache_allowed
+
+    assert cache_allowed("tpu", None)
+    assert cache_allowed("axon", None)
+    assert cache_allowed("axon,cpu", None)  # first entry wins
+    assert not cache_allowed("cpu", None)
+    assert not cache_allowed("", None)  # unset -> implicit CPU default
+    assert not cache_allowed("cpu,axon", None)
+    # the knob overrides in both directions
+    assert cache_allowed("cpu", "1")
+    assert not cache_allowed("axon", "0")

@@ -54,22 +54,33 @@ def _host_fingerprint() -> str:
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
+#: Platforms whose executables are safe to persist: the remote-tunnel TPU
+#: backends, where a first compile costs minutes. Everything else —
+#: including an UNSET platform, whose implicit default backend is the CPU
+#: — recompiles in seconds and risks the (de)serialization segfault.
+_CACHEABLE_PLATFORMS = frozenset({"tpu", "axon"})
+
+
+def cache_allowed(platform: str, knob: str | None) -> bool:
+    """Pure policy predicate: should the disk cache be enabled for this
+    resolved platform string and ``VDPP_COMPILE_CACHE`` knob value?"""
+    if knob == "0":
+        return False
+    if knob == "1":
+        return True
+    return platform.split(",")[0] in _CACHEABLE_PLATFORMS
+
+
 def enable_persistent_cache(path: str | None = None) -> str:
     """Enable JAX's on-disk compilation cache (idempotent). Returns the
     cache directory. Set ``VDPP_COMPILE_CACHE=0`` to disable."""
     import jax
 
     knob = os.environ.get("VDPP_COMPILE_CACHE")
-    if knob == "0":
-        return ""
-    # CPU-backend executables are not reliably (de)serializable on this
-    # host class (see module docstring) — and recompile in seconds. Only
-    # the (remote, minutes-per-compile) TPU backend gets the disk cache,
-    # unless explicitly forced.
     platform = (
         jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
-    ).split(",")[0]
-    if platform == "cpu" and knob != "1":
+    )
+    if not cache_allowed(platform, knob):
         return ""
     path = path or os.environ.get("VDPP_COMPILE_CACHE_DIR")
     if not path:
