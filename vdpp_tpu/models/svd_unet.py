@@ -484,6 +484,106 @@ class SVDUNet:
         params["conv_out"] = init_conv2d(kg(), boc[0], cfg.out_channels, 3, cfg.dtype)
         return params
 
+    # ------------- shared forward-pass building blocks --------------- #
+    # ``apply`` (the general sharded path) and ``apply_cached`` (the
+    # lax.cond deepcache path) must stay op-for-op identical wherever
+    # they overlap. These helpers ARE the overlap: the deepcache full
+    # branch is built from the same bodies as ``apply``, so a future
+    # change to the forward pass cannot silently desync the two.
+    def _time_embeddings(self, params, timestep, added_time_ids, b):
+        """fp32 sinusoids -> model-dtype MLPs -> summed (B, TE) embedding."""
+        cfg = self.config
+        t = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)), (b,)
+        )
+        t_emb = sinusoidal_embedding(t, cfg.block_out_channels[0]).astype(cfg.dtype)
+        emb = timestep_mlp(t_emb, params["time_embedding"])  # (B, TE)
+        add_flat = added_time_ids.astype(jnp.float32).reshape(-1)
+        add_emb = sinusoidal_embedding(add_flat, cfg.addition_time_embed_dim)
+        add_emb = add_emb.reshape(b, -1).astype(cfg.dtype)
+        return emb + timestep_mlp(add_emb, params["add_embedding"])
+
+    def _down_path(self, params, x, emb_f, ctx_f, b, f, *, n_levels_to_run=None,
+                   run_last_downsample=True, seq_axis=None, frame_axis=None,
+                   frame_offset=0, c3=conv2d):
+        """Down levels ``0..n-1`` on a post-``conv_in`` tensor.
+
+        ``run_last_downsample=False`` skips level ``n-1``'s downsample
+        conv (deepcache shallow path: its output skip would feed an up
+        block the shallow path never reaches). Returns ``(x, res_stack)``
+        with the entry tensor as the stack's first element.
+        """
+        cfg = self.config
+        heads = cfg.num_attention_heads
+        n_levels = cfg.num_levels
+        n = n_levels if n_levels_to_run is None else n_levels_to_run
+        res_stack = [x]
+        for i in range(n):
+            block = params["down_blocks"][i]
+            has_attn = i < n_levels - 1
+            for j, res_p in enumerate(block["resnets"]):
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis,
+                                 frame_axis=frame_axis)
+                if has_attn:
+                    x = _st_transformer(
+                        block["attentions"][j], x, ctx_f, cfg, heads[i], b, f,
+                        seq_axis=seq_axis, frame_axis=frame_axis,
+                        frame_offset=frame_offset,
+                    )
+                res_stack.append(x)
+            if "downsample" in block and (i < n - 1 or run_last_downsample):
+                x = c3(x, block["downsample"], stride=2, padding=((1, 1), (1, 1)))
+                res_stack.append(x)
+        return x, res_stack
+
+    def _mid(self, params, x, emb_f, ctx_f, b, f, *, seq_axis=None,
+             frame_axis=None, frame_offset=0):
+        cfg = self.config
+        mid = params["mid_block"]
+        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f,
+                         seq_axis=seq_axis, frame_axis=frame_axis)
+        x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg,
+                            cfg.num_attention_heads[-1], b, f,
+                            seq_axis=seq_axis, frame_axis=frame_axis,
+                            frame_offset=frame_offset)
+        return _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f,
+                            seq_axis=seq_axis, frame_axis=frame_axis)
+
+    def _up_path(self, params, x, res_stack, emb_f, ctx_f, b, f, *, start=0,
+                 stop=None, seq_axis=None, frame_axis=None, frame_offset=0,
+                 c3=conv2d):
+        """Up blocks ``start..stop-1``, popping skips from ``res_stack``
+        (mutates the list, so a split caller can continue where the deep
+        half stopped)."""
+        cfg = self.config
+        rev_heads = list(reversed(cfg.num_attention_heads))
+        stop = cfg.num_levels if stop is None else stop
+        for i in range(start, stop):
+            block = params["up_blocks"][i]
+            has_attn = i > 0
+            for j, res_p in enumerate(block["resnets"]):
+                skip = res_stack.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis,
+                                 frame_axis=frame_axis)
+                if has_attn:
+                    x = _st_transformer(
+                        block["attentions"][j], x, ctx_f, cfg, rev_heads[i],
+                        b, f, seq_axis=seq_axis, frame_axis=frame_axis,
+                        frame_offset=frame_offset,
+                    )
+            if "upsample" in block:
+                x = upsample_nearest_2x(x)
+                x = c3(x, block["upsample"])
+        return x
+
+    def _head(self, params, x, *, seq_axis=None, c3=conv2d):
+        cfg = self.config
+        x = group_norm_silu(x, params["conv_norm_out"], cfg.norm_num_groups,
+                            cfg.out_norm_eps, psum_axis=seq_axis,
+                            fused=cfg.fused_groupnorm)
+        return c3(x, params["conv_out"])
+
     # ---------------------------- apply ------------------------------ #
     def apply(
         self,
@@ -531,7 +631,6 @@ class SVDUNet:
         """
         cfg = self.config
         b, f, hh, ww, _ = sample.shape
-        heads = cfg.num_attention_heads
         if seq_axis is not None:
             # every level's LOCAL width must stay even for the stride-2
             # downsample grid to align across shards
@@ -567,15 +666,7 @@ class SVDUNet:
             (lambda h, pp, **kw: conv2d(h, pp, amax_axes=amax_axes, **kw))
         )
 
-        # --- embeddings (fp32 sinusoids, model-dtype MLPs) ---
-        t = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)), (b,))
-        t_emb = sinusoidal_embedding(t, cfg.block_out_channels[0]).astype(cfg.dtype)
-        emb = timestep_mlp(t_emb, params["time_embedding"])  # (B, TE)
-
-        add_flat = added_time_ids.astype(jnp.float32).reshape(-1)
-        add_emb = sinusoidal_embedding(add_flat, cfg.addition_time_embed_dim)
-        add_emb = add_emb.reshape(b, -1).astype(cfg.dtype)
-        emb = emb + timestep_mlp(add_emb, params["add_embedding"])
+        emb = self._time_embeddings(params, timestep, added_time_ids, b)
 
         xs = sample.astype(cfg.dtype)
         frame_offset: jax.Array | int = 0
@@ -599,59 +690,14 @@ class SVDUNet:
             x = jax.lax.dynamic_slice_in_dim(x, idx * wl, wl, axis=2)
         x = c3(x, params["conv_in"])
 
-        res_stack: list[jax.Array] = [x]
-        # --- down path ---
-        n_levels = cfg.num_levels
-        for i, block in enumerate(params["down_blocks"]):
-            has_attn = i < n_levels - 1
-            for j, res_p in enumerate(block["resnets"]):
-                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis,
-                                 frame_axis=frame_axis)
-                if has_attn:
-                    x = _st_transformer(
-                        block["attentions"][j], x, ctx_f, cfg, heads[i], b, f,
-                        seq_axis=seq_axis, frame_axis=frame_axis,
-                        frame_offset=frame_offset,
-                    )
-                res_stack.append(x)
-            if "downsample" in block:
-                x = c3(x, block["downsample"], stride=2, padding=((1, 1), (1, 1)))
-                res_stack.append(x)
-
-        # --- mid ---
-        mid = params["mid_block"]
-        x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f, seq_axis=seq_axis,
-                         frame_axis=frame_axis)
-        x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg, heads[-1], b, f,
-                            seq_axis=seq_axis, frame_axis=frame_axis,
-                            frame_offset=frame_offset)
-        x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f, seq_axis=seq_axis,
-                         frame_axis=frame_axis)
-
-        # --- up path ---
-        rev_heads = list(reversed(heads))
-        for i, block in enumerate(params["up_blocks"]):
-            has_attn = i > 0
-            for j, res_p in enumerate(block["resnets"]):
-                skip = res_stack.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = _st_resblock(res_p, x, emb_f, cfg, b, f, seq_axis=seq_axis,
-                                 frame_axis=frame_axis)
-                if has_attn:
-                    x = _st_transformer(
-                        block["attentions"][j], x, ctx_f, cfg, rev_heads[i], b, f,
-                        seq_axis=seq_axis, frame_axis=frame_axis,
-                        frame_offset=frame_offset,
-                    )
-            if "upsample" in block:
-                x = upsample_nearest_2x(x)
-                x = c3(x, block["upsample"])
-
-        # --- head ---
-        x = group_norm_silu(x, params["conv_norm_out"], cfg.norm_num_groups,
-                            cfg.out_norm_eps, psum_axis=seq_axis,
-                            fused=cfg.fused_groupnorm)
-        x = c3(x, params["conv_out"])
+        sharding = dict(seq_axis=seq_axis, frame_axis=frame_axis,
+                        frame_offset=frame_offset)
+        x, res_stack = self._down_path(params, x, emb_f, ctx_f, b, f,
+                                       c3=c3, **sharding)
+        x = self._mid(params, x, emb_f, ctx_f, b, f, **sharding)
+        x = self._up_path(params, x, res_stack, emb_f, ctx_f, b, f,
+                          c3=c3, **sharding)
+        x = self._head(params, x, seq_axis=seq_axis, c3=c3)
         if seq_axis is not None:
             x = jax.lax.all_gather(x, seq_axis, axis=2, tiled=True)
         x = x.reshape(b, f, hh, ww, cfg.out_channels)  # f = local frames
@@ -731,89 +777,45 @@ class SVDUNet:
         want = self.cache_feature_shape(b, f, hh, ww, split)
         if tuple(cache.shape) != want:
             raise ValueError(f"cache shape {cache.shape} != expected {want}")
-        heads = cfg.num_attention_heads
         u_start = n_levels - split  # first up block the shallow path runs
 
-        # --- embeddings (identical to apply()) ---
-        t = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)), (b,)
-        )
-        t_emb = sinusoidal_embedding(t, cfg.block_out_channels[0]).astype(cfg.dtype)
-        emb = timestep_mlp(t_emb, params["time_embedding"])
-        add_flat = added_time_ids.astype(jnp.float32).reshape(-1)
-        add_emb = sinusoidal_embedding(add_flat, cfg.addition_time_embed_dim)
-        add_emb = add_emb.reshape(b, -1).astype(cfg.dtype)
-        emb = emb + timestep_mlp(add_emb, params["add_embedding"])
+        emb = self._time_embeddings(params, timestep, added_time_ids, b)
         emb_f = jnp.repeat(emb, f, axis=0)
         ctx_f = jnp.repeat(encoder_hidden_states.astype(cfg.dtype), f, axis=0)
 
         x_in = sample.astype(cfg.dtype).reshape(b * f, hh, ww, sample.shape[-1])
-        rev_heads = list(reversed(heads))
 
-        def down_levels(x, n: int, run_last_downsample: bool):
-            """conv_in + down levels 0..n-1; the last level's downsample
-            conv runs only when the path continues deeper (its output skip
-            feeds an up block the shallow path never reaches)."""
-            x = conv2d(x, params["conv_in"])
-            res_stack = [x]
-            for i in range(n):
-                block = params["down_blocks"][i]
-                has_attn = i < n_levels - 1
-                for j, res_p in enumerate(block["resnets"]):
-                    x = _st_resblock(res_p, x, emb_f, cfg, b, f)
-                    if has_attn:
-                        x = _st_transformer(
-                            block["attentions"][j], x, ctx_f, cfg, heads[i], b, f
-                        )
-                    res_stack.append(x)
-                if "downsample" in block and (i < n - 1 or run_last_downsample):
-                    x = conv2d(x, block["downsample"], stride=2,
-                               padding=((1, 1), (1, 1)))
-                    res_stack.append(x)
-            return x, res_stack
-
-        def up_blocks_range(x, res_stack, start: int, stop: int):
-            for i in range(start, stop):
-                block = params["up_blocks"][i]
-                has_attn = i > 0
-                for j, res_p in enumerate(block["resnets"]):
-                    skip = res_stack.pop()
-                    x = jnp.concatenate([x, skip], axis=-1)
-                    x = _st_resblock(res_p, x, emb_f, cfg, b, f)
-                    if has_attn:
-                        x = _st_transformer(
-                            block["attentions"][j], x, ctx_f, cfg,
-                            rev_heads[i], b, f,
-                        )
-                if "upsample" in block:
-                    x = upsample_nearest_2x(x)
-                    x = conv2d(x, block["upsample"])
-            return x
-
+        # Both branches are assembled from the SAME _down_path/_mid/
+        # _up_path/_head bodies apply() runs (at their unsharded
+        # defaults), so the full branch tracks apply() by construction.
         def head(x):
-            x = group_norm_silu(x, params["conv_norm_out"], cfg.norm_num_groups,
-                                cfg.out_norm_eps, fused=cfg.fused_groupnorm)
-            x = conv2d(x, params["conv_out"])
-            return x.reshape(b, f, hh, ww, cfg.out_channels)
+            return self._head(params, x).reshape(b, f, hh, ww, cfg.out_channels)
 
         def full_branch(operand):
             x, _unused_cache = operand
-            x, res_stack = down_levels(x, n_levels, run_last_downsample=True)
-            mid = params["mid_block"]
-            x = _st_resblock(mid["resnets"][0], x, emb_f, cfg, b, f)
-            x = _st_transformer(mid["attentions"][0], x, ctx_f, cfg,
-                                heads[-1], b, f)
-            x = _st_resblock(mid["resnets"][1], x, emb_f, cfg, b, f)
-            x = up_blocks_range(x, res_stack, 0, u_start)
+            x = conv2d(x, params["conv_in"])
+            x, res_stack = self._down_path(params, x, emb_f, ctx_f, b, f)
+            x = self._mid(params, x, emb_f, ctx_f, b, f)
+            x = self._up_path(params, x, res_stack, emb_f, ctx_f, b, f,
+                              start=0, stop=u_start)
             new_cache = x.reshape(want).astype(cfg.dtype)
-            x = up_blocks_range(x, res_stack, u_start, n_levels)
+            x = self._up_path(params, x, res_stack, emb_f, ctx_f, b, f,
+                              start=u_start, stop=n_levels)
             return head(x), new_cache
 
         def shallow_branch(operand):
             x, cached = operand
-            x, res_stack = down_levels(x, split, run_last_downsample=False)
+            # The shallow down output feeds only the skip stack; the last
+            # level's downsample is skipped (its skip would feed an up
+            # block the shallow path never reaches).
+            x = conv2d(x, params["conv_in"])
+            _, res_stack = self._down_path(
+                params, x, emb_f, ctx_f, b, f,
+                n_levels_to_run=split, run_last_downsample=False,
+            )
             deep = cached.reshape(b * f, *want[2:])
-            x = up_blocks_range(deep, res_stack, u_start, n_levels)
+            x = self._up_path(params, deep, res_stack, emb_f, ctx_f, b, f,
+                              start=u_start, stop=n_levels)
             return head(x), cached
 
         return jax.lax.cond(
