@@ -148,6 +148,16 @@ def test_production_mode_state_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resuming at tick" in r2.stderr + r2.stdout
 
+    # A snapshot must refuse to resume under a different configuration:
+    # the buf-shape check alone cannot see seed/schedule/sample-count
+    # changes, which would silently corrupt the emitted samples.
+    mismatched = [a for a in base]
+    mismatched[mismatched.index("--num-samples") + 1] = "3"
+    r3 = run_cli(mismatched + ["--resume"], timeout=600)
+    assert r3.returncode != 0
+    assert "different run configuration" in r3.stderr + r3.stdout
+    assert "num_samples" in r3.stderr + r3.stdout
+
 
 def test_generate_video_long_segments():
     """Autoregressive long-video chaining: K segments re-conditioned on

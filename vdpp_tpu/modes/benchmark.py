@@ -262,9 +262,16 @@ def main(argv=None) -> int:
     # run's times as indicative, not as the metric.
     profile_stack = contextlib.ExitStack()
     if args.profile_dir:
+        import atexit
+
         from vdpp_tpu.utils.profiling import device_trace
 
         profile_stack.enter_context(device_trace(args.profile_dir))
+        # Flush the trace even when the run dies mid-measurement (the
+        # failure one typically profiles to diagnose); close() is
+        # idempotent, so the success-path close before the JSON emit
+        # still runs first.
+        atexit.register(profile_stack.close)
 
     if args.fsdp:
         if (args.seq_parallel > 1 or args.cfg_parallel

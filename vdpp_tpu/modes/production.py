@@ -254,8 +254,36 @@ def main(argv=None) -> int:
                 save_pipeline_state,
             )
 
+            # Everything that shapes the run's inputs or traced program.
+            # A snapshot resumed under different flags would pass the
+            # executor's buf-shape check (shape is (S, *latent) — blind
+            # to seed/schedule/sample count) and silently mix old
+            # in-flight payloads with different fresh inputs and sigmas.
+            run_meta = {
+                "total_steps": model.num_steps,
+                "stages": stages,
+                "num_samples": args.num_samples,
+                "seed": args.seed,
+                "solver": args.solver,
+                "deepcache": args.deepcache,
+                "latent_shape": list(args.latent_shape),
+                "guidance_scale": args.guidance_scale,
+                "cfg_mode": args.cfg_mode,
+            }
             if args.resume and os.path.exists(args.state_path):
                 last_tick, buf0, meta = load_pipeline_state(args.state_path)
+                # Validate every key the snapshot recorded (snapshots
+                # from older builds carry fewer keys; those still check).
+                mismatch = {
+                    k: (v, run_meta.get(k))
+                    for k, v in meta.items()
+                    if run_meta.get(k) != v
+                }
+                if mismatch:
+                    raise SystemExit(
+                        "--resume: snapshot was written by a different "
+                        f"run configuration (snapshot vs current): {mismatch}"
+                    )
                 start_tick, init_buf = last_tick + 1, buf0
                 first_sample = max(start_tick - (stages - 1), 0)
                 LOGGER.info("resuming at tick %d (samples %d.. remain; %s)",
@@ -265,10 +293,7 @@ def main(argv=None) -> int:
             def on_tick(t, buf):
                 if (t + 1) % every == 0:
                     save_pipeline_state(
-                        args.state_path, t, buf,
-                        meta={"total_steps": model.num_steps,
-                              "stages": stages,
-                              "num_samples": args.num_samples},
+                        args.state_path, t, buf, meta=run_meta,
                     )
 
         out, tick_times = pipe.run_ticked(
