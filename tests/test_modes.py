@@ -283,3 +283,40 @@ def test_benchmark_profile_dir_writes_trace(tmp_path):
     ]
     assert produced, "no trace files written"
     assert any(p.name.endswith(".xplane.pb") for p in produced), produced
+
+
+def test_production_mode_resume_flag_consistency():
+    """Argument-consistency errors fire BEFORE model construction and
+    checkpoint load: a silently ignored --resume (no --state-path) would
+    restart from tick 0 while the user believes the run resumed —
+    code-review finding."""
+    base = ["-m", "vdpp_tpu.modes.production", "--preset", "tiny",
+            "--backend", "cpu", "--latent-shape", "1", "4", "2", "16", "16"]
+    r = run_cli(base + ["--ticked", "--resume"], timeout=300)
+    assert r.returncode != 0
+    assert "--resume needs --state-path" in r.stderr + r.stdout
+
+    r = run_cli(base + ["--state-path", "/tmp/never.npz"], timeout=300)
+    assert r.returncode != 0
+    assert "--state-path needs --ticked" in r.stderr + r.stdout
+
+    r = run_cli(base + ["--ticked", "--state-every", "2"], timeout=300)
+    assert r.returncode != 0
+    assert "--state-every needs --state-path" in r.stderr + r.stdout
+
+
+def test_production_mode_deepcache_auto_topology():
+    """--deepcache + --auto-topology: the planner is constrained to
+    stage-only factorizations instead of aborting on seq/frame/cfg axes
+    the user never requested (on 8 virtual devices the unconstrained
+    throughput plan picks frame/cfg axes) — code-review finding."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
+        "--deepcache", "2", "--auto-topology", "throughput",
+        "--guidance-scale", "3", "--total-steps", "8", "--num-samples", "2",
+        "--latent-shape", "1", "4", "2", "16", "16",
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stderr + r.stdout
+    assert "constrained to stage-only plans" in out
+    assert "final latent norm" in out

@@ -107,3 +107,25 @@ def test_describe_never_calls_slower_plans_faster():
     assert padded, "expected a padded plan in the top ranks"
     assert "slower" in padded[0].describe()
     assert "faster" not in padded[0].describe().split("latency")[1].split(",")[0]
+
+
+def test_stage_only_constraint():
+    """allow_intra_sample=False restricts the enumeration itself (not a
+    post-filter: max_plans truncation could otherwise drop every
+    stage-only plan from the ranked list) — production uses this for
+    --deepcache --auto-topology, where the planner must never pick
+    seq/frame/cfg axes the cached-UNet payload can't compose with."""
+    plans = plan_topology(
+        8, total_steps=30, frames=14, latent_w=128, num_samples=8,
+        guidance=True, objective="throughput", allow_intra_sample=False,
+    )
+    assert plans
+    assert all(p.seq == 1 and p.frame == 1 and p.cfg == 1 for p in plans)
+    # The unconstrained ranking DOES lead with intra-sample axes here —
+    # the constraint is load-bearing, not vacuous.
+    free = plan_topology(
+        8, total_steps=30, frames=14, latent_w=128, num_samples=8,
+        guidance=True, objective="throughput",
+    )
+    best = free[0]
+    assert best.seq > 1 or best.frame > 1 or best.cfg > 1

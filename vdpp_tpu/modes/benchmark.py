@@ -97,7 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _build_model(args, config_dtype):
-    """Returns (step_fn, bundle, latent_shape_cl, model_name)."""
+    """Returns (step_fn, bundle, noise_shape, pack, model_name).
+
+    ``noise_shape`` is the per-sample shape of the MODEL's latent (what
+    the noise generator fills); ``pack`` (or None for identity) is the
+    wrapper's ``pack_initial``, which owns the pipeline-payload layout
+    ([x ‖ solver state ‖ cache lanes]) — the benchmark must not re-derive
+    that layout by hand."""
     import jax
     import jax.numpy as jnp
 
@@ -132,7 +138,7 @@ def _build_model(args, config_dtype):
         params = model.init(jax.random.key(args.seed))
         step_fn = lambda p, x, s: model.apply(p, x, s)  # noqa: E731
         # DummyUNet keeps the reference's channels-first (B,C,F,H,W) layout.
-        return step_fn, params, (b, c, f, h, w), "dummy"
+        return step_fn, params, (b, c, f, h, w), None, "dummy"
 
     if args.model.startswith("dit"):
         from vdpp_tpu.models.dit import DiTVideoConfig, DiTVideoWrapper
@@ -159,6 +165,7 @@ def _build_model(args, config_dtype):
             ),
             (params, ctx, guidance),
             (b, f, h, w, dcfg.in_channels),
+            None,
             args.model,
         )
 
@@ -185,9 +192,10 @@ def _build_model(args, config_dtype):
         cross_dim=config.cross_attention_dim,
         guidance_scale=args.guidance_scale,
     )
-    # DeepCache threads its deep-feature cache through extra payload
-    # channels; step 0 is always a full step, so the random-noise cache
-    # lanes the benchmark feeds are refreshed before first use.
+    # Solver/cache state (dpmpp2m x0_hat slot, deepcache lanes) is
+    # attached by model.pack_initial — the single owner of the payload
+    # layout; step 0 is always a full step, so the zero-initialized
+    # cache lanes are refreshed before first use.
     return (
         model.pipeline_step_fn(
             cfg_axis=cfg_axis,
@@ -195,7 +203,8 @@ def _build_model(args, config_dtype):
             frame_axis="frame" if fp > 1 else None, frame_shards=fp,
         ),
         (params, cond),
-        (b, f, h, w, 4 + model.payload_extra_channels),
+        (b, f, h, w, 4),
+        model.pack_initial,
         args.model,
     )
 
@@ -232,7 +241,7 @@ def main(argv=None) -> int:
             "--deepcache does not compose with --seq-parallel/"
             "--frame-parallel/--cfg-parallel yet (stage/data axes are fine)"
         )
-    step_fn, bundle, latent_cl, model_name = _build_model(args, None)
+    step_fn, bundle, noise_shape, pack, model_name = _build_model(args, None)
     w8a8 = getattr(args, "weights_w8a8", False)
     if (getattr(args, "weights_int8", False) or w8a8) and args.model == "dummy":
         raise SystemExit(
@@ -252,8 +261,10 @@ def main(argv=None) -> int:
     total_n = args.num_samples + args.warmup_samples
 
     inputs = jax.random.normal(
-        jax.random.key(args.seed + 2), (total_n, *latent_cl), jnp.float32
+        jax.random.key(args.seed + 2), (total_n, *noise_shape), jnp.float32
     )
+    if pack is not None:
+        inputs = pack(inputs)
 
     # --profile-dir: device-timeline capture spanning warmup + measured
     # runs (closed before the JSON emit so the trace flushes even when
@@ -388,9 +399,13 @@ def main(argv=None) -> int:
             jax.block_until_ready(pipe.run(bundle, inputs))
             # readied BEFORE the timed window: the lazily dispatched RNG
             # program must not bill its cost to the measured run
-            fresh = jax.block_until_ready(jax.random.normal(
-                jax.random.key(args.seed + 3), inputs.shape, inputs.dtype
-            ))
+            fresh = jax.random.normal(
+                jax.random.key(args.seed + 3), (total_n, *noise_shape),
+                inputs.dtype,
+            )
+            if pack is not None:
+                fresh = pack(fresh)
+            fresh = jax.block_until_ready(fresh)
             t0 = time.perf_counter()
             force_sync(jax.block_until_ready(pipe.run(bundle, fresh[:dp])))
             first = time.perf_counter() - t0

@@ -61,7 +61,7 @@ def main(argv=None) -> int:
 
     setup_logging(args.log_level)
     enable_persistent_cache()
-    step_fn, bundle, latent_cl, model_name = _build_model(args, None)
+    step_fn, bundle, noise_shape, pack, model_name = _build_model(args, None)
 
     mesh = make_data_mesh(args.num_devices)
     world = mesh.shape["data"]
@@ -72,8 +72,11 @@ def main(argv=None) -> int:
 
     runner = DataParallelRunner(mesh, step_fn, args.total_steps)
     inputs = jax.random.normal(
-        jax.random.key(args.seed + 2), (args.num_samples, *latent_cl), jnp.float32
+        jax.random.key(args.seed + 2), (args.num_samples, *noise_shape),
+        jnp.float32,
     )
+    if pack is not None:
+        inputs = pack(inputs)
 
     for _ in range(args.warmup_rounds):
         jax.block_until_ready(runner.run(bundle, inputs))
@@ -83,9 +86,13 @@ def main(argv=None) -> int:
     # optimistically for array outputs (CLAUDE.md timing caveat).
     from vdpp_tpu.utils.profiling import force_sync
 
-    fresh = jax.block_until_ready(jax.random.normal(
-        jax.random.key(args.seed + 3), inputs.shape, jnp.float32
-    ))
+    fresh = jax.random.normal(
+        jax.random.key(args.seed + 3), (args.num_samples, *noise_shape),
+        jnp.float32,
+    )
+    if pack is not None:
+        fresh = pack(fresh)
+    fresh = jax.block_until_ready(fresh)
     t0 = time.perf_counter()
     force_sync(jax.block_until_ready(runner.run(bundle, fresh)))
     total = time.perf_counter() - t0

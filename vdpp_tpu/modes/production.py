@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(tick index + stage payload ring) here every "
                         "--state-every ticks — preemption recovery "
                         "(utils/resume.py)")
-    p.add_argument("--state-every", type=int, default=1,
+    p.add_argument("--state-every", type=int, default=None,
                    help="ticks between snapshots (default every tick)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --state-path if it exists (emits the "
@@ -113,6 +113,20 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     b, c, f, h, w = args.latent_shape
+    # Argument-consistency checks belong BEFORE model construction and
+    # checkpoint load: a multi-GB svd_xt load should never complete only
+    # for the run to die on a flag mismatch (and a silently ignored
+    # --resume would restart from tick 0 while the user believes the run
+    # resumed).
+    if args.state_path and not args.ticked:
+        raise SystemExit("--state-path needs --ticked (the fused executor "
+                         "runs the whole schedule in one program — there "
+                         "is no host-visible state between ticks)")
+    if args.resume and not args.state_path:
+        raise SystemExit("--resume needs --state-path (where should the "
+                         "snapshot come from?)")
+    if args.state_every is not None and not args.state_path:
+        raise SystemExit("--state-every needs --state-path")
     config = SVDUNetConfig.tiny() if args.preset == "tiny" else SVDUNetConfig.svd_xt()
     if args.auto_topology and not (
         args.num_stages or args.seq_parallel > 1 or args.frame_parallel > 1
@@ -127,7 +141,14 @@ def main(argv=None) -> int:
             seq_min_divisor_unit=config.seq_min_divisor(1),
             guidance=args.guidance_scale is not None,
             objective=args.auto_topology,
+            # DeepCache composes with the stage axis only; constrain the
+            # planner up front rather than aborting later on axes the
+            # user never asked for.
+            allow_intra_sample=not args.deepcache,
         )
+        if args.deepcache:
+            LOGGER.info("auto-topology constrained to stage-only plans "
+                        "(--deepcache)")
         best = plans[0]
         LOGGER.info("auto-topology (%s): %s", args.auto_topology,
                     best.describe())
@@ -239,10 +260,6 @@ def main(argv=None) -> int:
 
     pipe = StepPipeline(mesh, step_fn, PipelineConfig(model.num_steps, stages))
 
-    if args.state_path and not args.ticked:
-        raise SystemExit("--state-path needs --ticked (the fused executor "
-                         "runs the whole schedule in one program — there "
-                         "is no host-visible state between ticks)")
     first_sample = 0
     t0 = time.perf_counter()
     if args.ticked:
@@ -261,14 +278,24 @@ def main(argv=None) -> int:
             # in-flight payloads with different fresh inputs and sigmas.
             run_meta = {
                 "total_steps": model.num_steps,
+                # model.num_steps alone is blind to padding: a 25-step
+                # schedule padded to 28 and a real 28-step schedule both
+                # record 28 while their sigma tables differ.
+                "requested_steps": args.total_steps,
+                "pad_schedule": bool(args.pad_schedule),
                 "stages": stages,
                 "num_samples": args.num_samples,
                 "seed": args.seed,
                 "solver": args.solver,
                 "deepcache": args.deepcache,
+                "deepcache_split": args.deepcache_split,
                 "latent_shape": list(args.latent_shape),
                 "guidance_scale": args.guidance_scale,
                 "cfg_mode": args.cfg_mode,
+                # weights identity (path-level: catches the common
+                # resumed-under-different-weights mistake).
+                "preset": args.preset,
+                "checkpoint": args.checkpoint,
             }
             if args.resume and os.path.exists(args.state_path):
                 last_tick, buf0, meta = load_pipeline_state(args.state_path)
@@ -288,7 +315,7 @@ def main(argv=None) -> int:
                 first_sample = max(start_tick - (stages - 1), 0)
                 LOGGER.info("resuming at tick %d (samples %d.. remain; %s)",
                             start_tick, first_sample, meta)
-            every = max(args.state_every, 1)
+            every = max(args.state_every or 1, 1)
 
             def on_tick(t, buf):
                 if (t + 1) % every == 0:

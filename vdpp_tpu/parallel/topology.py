@@ -207,6 +207,7 @@ def plan_topology(
     frame_efficiency: float = 0.90,
     cfg_efficiency: float = 0.97,
     allow_pad_steps: bool = True,
+    allow_intra_sample: bool = True,
     max_plans: int = 8,
 ) -> list[TopologyPlan]:
     """Rank valid (stage, seq, frame, cfg) factorizations of ``n_devices``.
@@ -231,6 +232,10 @@ def plan_topology(
             padding the schedule with exact-identity steps
             (``EulerKarrasSchedule.create(pad_to_multiple_of=...)``);
             the padding cost enters the scores as padded_T/T.
+        allow_intra_sample: when False, only stage-axis factorizations
+            are considered (seq = frame = cfg = 1) — for run modes that
+            do not compose with intra-sample sharding, e.g. --deepcache,
+            whose payload cache lanes assume the full latent per device.
 
     Returns:
         Plans sorted best-first by the objective (ties: fewer devices).
@@ -244,9 +249,9 @@ def plan_topology(
         return eff ** math.log2(k) if k > 1 else 1.0
 
     plans: list[TopologyPlan] = []
-    for cfg_ax in (1, 2) if guidance else (1,):
-        for frame_ax in _divisors(frames):
-            for seq_ax in range(1, n_devices + 1):
+    for cfg_ax in (1, 2) if (guidance and allow_intra_sample) else (1,):
+        for frame_ax in _divisors(frames) if allow_intra_sample else (1,):
+            for seq_ax in range(1, (n_devices if allow_intra_sample else 1) + 1):
                 if seq_ax > 1 and latent_w % (seq_ax * seq_min_divisor_unit):
                     continue
                 inner = cfg_ax * frame_ax * seq_ax
