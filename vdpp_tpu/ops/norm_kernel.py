@@ -33,9 +33,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _row_chunk(s: int, c: int, budget_bytes: int = 4 << 20) -> int | None:
+def _row_chunk(s: int, c: int, budget_bytes: int = 2 << 20) -> int | None:
     """Largest divisor of ``s`` that is a multiple of 8 (fp32 sublane tile)
-    and keeps a (chunk, C) fp32 temporary under ``budget_bytes``."""
+    and keeps a (chunk, C) fp32 temporary under ``budget_bytes``.
+
+    The budget bounds the Mosaic scoped-VMEM *stack*, not just the block:
+    the stats phase materializes ~4 fp32 temporaries of the chunk (xf, d,
+    d*d, and dot outputs), so a 4 MiB per-temporary budget overflowed the
+    16 MiB scoped limit by ~0.5 MiB at the real 960-channel UNet shape
+    (chunk 1024: "Ran out of memory in memory space vmem ... allocating
+    on stack", real-chip A/B 2026-08-19). 2 MiB keeps the stack near
+    ~8 MiB at worst."""
     best = None
     for chunk in range(8, s + 1, 8):
         if s % chunk == 0 and chunk * c * 4 <= budget_bytes:
