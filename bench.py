@@ -93,6 +93,8 @@ def measure_config(
     cfg_mode: str,
     min_videos: int,
     max_videos: int,
+    solver: str | None = None,
+    deepcache: int | None = None,
 ) -> dict:
     """Measure one (model, shape, schedule) configuration.
 
@@ -105,8 +107,11 @@ def measure_config(
     # Opt-in output-changing levers for MANUAL A/B runs (construction-time
     # env reads, CLAUDE.md discipline). The DRIVER metric stays euler +
     # no-deepcache: these change outputs, so they are not the contract.
-    solver = os.environ.get("VDPP_BENCH_SOLVER", "euler")
-    deepcache = int(os.environ.get("VDPP_BENCH_DEEPCACHE", "0"))
+    # Explicit arguments (the in-process fast-path row) override the env.
+    if solver is None:
+        solver = os.environ.get("VDPP_BENCH_SOLVER", "euler")
+    if deepcache is None:
+        deepcache = int(os.environ.get("VDPP_BENCH_DEEPCACHE", "0"))
     if solver != "euler" or deepcache:
         log(f"[{label}] OPT-IN levers: solver={solver} deepcache={deepcache} "
             "(output-changing; not the driver metric)")
@@ -161,10 +166,20 @@ def measure_config(
     if memory:
         log(f"[{label}] program memory (GB/device): {memory}")
 
+    # Timed off the SCALAR isfinite fetch: `block_until_ready` on an array
+    # output returns optimistically through the relay (CLAUDE.md
+    # "Remote-timing caveat" — round 4's artifact logged a dishonest
+    # "first video: 0.0s" this way); forcing the reduction to the host is
+    # the only honest readback, so the first-video time and the finite
+    # check share one fetch.
     t0 = time.perf_counter()
-    out = jax.block_until_ready(compiled(bundle, noise0))
-    log(f"[{label}] first video (post-compile): {time.perf_counter() - t0:.1f}s")
-    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32)))), "non-finite output"
+    out = compiled(bundle, noise0)
+    finite = bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+    log(
+        f"[{label}] first video incl. finite-check scalar fetch: "
+        f"{time.perf_counter() - t0:.1f}s"
+    )
+    assert finite, "non-finite output"
 
     times: list[float] = []
     stable = False
@@ -383,8 +398,48 @@ def main() -> None:
             else round(baseline_sec / sec_per_video, 3)
         ),
     }
-    watchdog.cancel()
+    # The driver-contract line goes out BEFORE the optional fast-path
+    # measurement: a fast-path compile timeout must never cost the
+    # round its one parseable metric.
     print(json.dumps(result), flush=True)
+
+    if preset == "full" and os.environ.get("VDPP_BENCH_FASTPATH", "1") == "1":
+        # Composed-lever fast path (dpmpp2m 15 steps x deepcache-2): the
+        # production low-latency configuration (docs/performance.md
+        # "Round-4 opt-in fast path": 21.38 s/video, 2.52x over the driver
+        # metric). Output-changing (2nd-order solver at half the steps +
+        # cached deep features), so it is NOT the driver metric — it is
+        # emitted as a prefixed FASTPATH_JSON line the driver's one-line
+        # JSON parse skips but the artifact tail captures.
+        try:
+            fast = measure_config(
+                label="fastpath-dpmpp2m15-dc2",
+                config=config,
+                frames=frames, lat_h=lat_h, lat_w=lat_w, steps=15,
+                guidance=guidance, cfg_mode=cfg_mode,
+                min_videos=2, max_videos=3,
+                solver="dpmpp2m", deepcache=2,
+            )
+        except Exception as e:  # fast path is best-effort extra evidence
+            log(f"[fastpath] skipped on error: {type(e).__name__}: {e}")
+        else:
+            fast_sec = fast["sec_per_video"]
+            print(
+                "FASTPATH_JSON="
+                + json.dumps({
+                    "metric": (
+                        f"sec/video single-chip SVD {frames}f {lat_h}x{lat_w} "
+                        "latent, dpmpp2m 15 steps x deepcache-2 "
+                        "(opt-in fast path; output-changing)"
+                    ),
+                    "value": round(fast_sec, 3),
+                    "unit": "s/video",
+                    "vs_baseline": round(baseline_sec / fast_sec, 3),
+                    "vs_driver_metric": round(sec_per_video / fast_sec, 3),
+                }),
+                flush=True,
+            )
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

@@ -14,6 +14,8 @@ from vdpp_tpu.compat import (
 from vdpp_tpu.models.dummy_unet import DummyUNet
 from vdpp_tpu.parallel.pipeline import run_reference_single_device
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (.pre-commit-config.yaml)
+
 
 def test_resolve_backend_semantics(monkeypatch):
     monkeypatch.delenv("VDPP_BACKEND", raising=False)

@@ -157,10 +157,26 @@ def test_fused_rejects_intra_sample_sharding():
 
 
 def test_row_chunk_picker():
+    import inspect
+
     # 9216 rows x 320 ch fp32: full row is ~11.8 MB, must chunk
     ch = _row_chunk(9216, 320)
     assert ch is not None and 9216 % ch == 0 and ch % 8 == 0
-    assert ch * 320 * 4 <= 4 << 20
+    # The picker's default budget bounds the Mosaic scoped-VMEM STACK:
+    # the stats phase holds ~4 fp32 chunk temporaries, and the 16 MiB
+    # scoped limit overflowed at the real 960-channel shape under the old
+    # 4 MiB per-temporary budget (norm_kernel.py:_row_chunk docstring,
+    # real-chip A/B 2026-08-19). Pin the shipped default and the stack
+    # reasoning so a budget regression past 2 MiB fails here.
+    default_budget = inspect.signature(_row_chunk).parameters[
+        "budget_bytes"
+    ].default
+    assert default_budget == 2 << 20
+    assert ch * 320 * 4 <= default_budget
+    assert ch * 320 * 4 * 4 <= 16 << 20  # 4 temporaries under scoped VMEM
+    # the 960-channel real-UNet shape that overflowed must stay bounded too
+    ch960 = _row_chunk(9216, 960)
+    assert ch960 is not None and ch960 * 960 * 4 <= default_budget
     # tiny rows fit whole
     assert _row_chunk(24, 64) == 24
     # no 8-aligned divisor

@@ -84,6 +84,7 @@ def test_sample_order_preserved(model_and_params):
     np.testing.assert_allclose(out, out_rev[::-1], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.fast  # pre-commit smoke tier: pure validation, no mesh compile
 def test_config_validation():
     with pytest.raises(ValueError):
         PipelineConfig(total_steps=30, num_stages=7)  # non-divisible

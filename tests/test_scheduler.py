@@ -21,6 +21,8 @@ from vdpp_tpu.diffusion.scheduler import (
     scale_model_input,
 )
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (.pre-commit-config.yaml)
+
 
 def test_karras_endpoints_and_shape():
     sig = karras_sigmas(25)

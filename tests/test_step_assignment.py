@@ -14,6 +14,8 @@ from vdpp_tpu.parallel.step_assignment import (
     assign_steps_uneven,
 )
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (.pre-commit-config.yaml)
+
 
 @pytest.mark.parametrize("world_size", [1, 2, 4, 7])
 def test_even_split_counts(world_size):

@@ -4,6 +4,8 @@ import pytest
 
 from vdpp_tpu.parallel.topology import plan_topology
 
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (.pre-commit-config.yaml)
+
 
 def _top(objective, **kw):
     defaults = dict(

@@ -3,12 +3,16 @@
 import json
 import logging
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from vdpp_tpu.utils.bench_json import benchmark_results_dict, emit_benchmark_json
 from vdpp_tpu.utils.profiling import phase_timer
 from vdpp_tpu.utils.video_io import build_output_name, frames_to_uint8
+
+pytestmark = pytest.mark.fast  # pre-commit smoke tier (.pre-commit-config.yaml)
 
 
 def _mk_results(**over):
