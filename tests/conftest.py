@@ -47,6 +47,11 @@ def _clear_jax_caches_between_modules():
     executable set per module is the empirically sufficient fix.
     Modules share essentially no compilations, so the recompile cost is
     negligible.
+
+    VDPP_NO_CLEAR_CACHES=1 disables the workaround — used ONLY by
+    scripts/repro_xla_cpu_segfault.py --from-suite to replay the exact
+    incident configuration.
     """
     yield
-    jax.clear_caches()
+    if os.environ.get("VDPP_NO_CLEAR_CACHES") != "1":
+        jax.clear_caches()

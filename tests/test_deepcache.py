@@ -272,8 +272,119 @@ def test_invalid_compositions_rejected(tiny, cond):
                         deepcache_split=cfg.num_levels)
     model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2)
     noise = jnp.zeros((B, F, H, W, 4), jnp.float32)
-    x = model.pack_initial(noise)
-    with pytest.raises(ValueError, match="deepcache"):
-        model.step(params, x, 0, cond, seq_axis="seq")
     with pytest.raises(ValueError, match="fp32"):
         model.pack_initial(noise.astype(jnp.bfloat16))
+
+
+# --------------------------------------------------------------------- #
+# deepcache x intra-sample parallel axes (round 5: exclusion lifted)
+#
+# The cache enters/leaves apply_cached replicated over the seq/frame
+# axes (each shard slices its local W/frame block — the cache's spatial
+# grid shards like the latent's, shard-exactly by the seq_min_divisor
+# width check); under cfg parallelism the wrapper exchanges per-branch
+# caches with the eps in one ppermute pair. Every combination must equal
+# the UNSHARDED deepcache schedule elementwise (2e-5, the same bound the
+# plain seq/frame tests use for psum-order roundoff).
+# --------------------------------------------------------------------- #
+DC_FRAMES = 4
+
+
+def _dc_setup(frames=DC_FRAMES, solver="euler", interval=2):
+    cfg = SVDUNetConfig.tiny()
+    model = StableVideoUNet(cfg, num_steps=STEPS, cfg_mode="sequential",
+                            deepcache_interval=interval, solver=solver)
+    params = model.init(jax.random.key(0))
+    cond_ = make_dummy_conditioning(
+        jax.random.key(1), 1, frames, 16, 16,
+        cross_dim=cfg.cross_attention_dim, guidance_scale=3.0,
+    )
+    latent = (
+        jax.random.normal(jax.random.key(2), (1, frames, 16, 16, 4),
+                          jnp.float32)
+        * model.init_noise_sigma
+    )
+    return model, params, cond_, latent
+
+
+def _dc_scan_fn(step, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    def body(bundle, lat):
+        def one(x, k):
+            return step(bundle, x, k), None
+
+        x, _ = jax.lax.scan(one, lat, jnp.arange(STEPS, dtype=jnp.int32))
+        return x
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False
+    ))
+
+
+@pytest.mark.parametrize(
+    "axes,kwargs",
+    [
+        ({"frame": 2}, dict(frame_axis="frame", frame_shards=2)),
+        ({"seq": 2}, dict(seq_axis="seq", seq_shards=2)),
+        ({"cfg": 2}, dict(cfg_axis="cfg")),
+    ],
+    ids=["frame", "seq", "cfg"],
+)
+def test_deepcache_x_intra_sample_axis_matches_oracle(axes, kwargs):
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, params, cond_, latent = _dc_setup()
+    bundle = (params, cond_)
+    inputs = model.pack_initial(latent)
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, inputs[None], STEPS
+    )[0]
+    fn = _dc_scan_fn(model.pipeline_step_fn(**kwargs), make_axes_mesh(**axes))
+    out = fn(bundle, inputs)
+    # FULL payload comparison: pins the gathered/exchanged cache lanes,
+    # not just the latent head.
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_deepcache_x_dpmpp2m_x_seq_x_cfg_matches_oracle():
+    """The production fast path (dpmpp2m x deepcache) on the planner's
+    best LATENCY topology (seq x cfg) — the round-4 verdict's one
+    mutually-exclusive feature pair, now composed in a single program:
+    payload = [x ‖ old x0_hat ‖ cache_u ‖ cache_c] under both axes."""
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, params, cond_, latent = _dc_setup(solver="dpmpp2m")
+    bundle = (params, cond_)
+    inputs = model.pack_initial(latent)
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, inputs[None], STEPS
+    )[0]
+    step = model.pipeline_step_fn(cfg_axis="cfg", seq_axis="seq", seq_shards=2)
+    fn = _dc_scan_fn(step, make_axes_mesh(seq=2, cfg=2))
+    out = fn(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_deepcache_x_pipeline_x_frame_parallel():
+    """(stage, frame) mesh with deepcache: the cache lanes ride the stage
+    hand-off while each stage is a 2-device frame-sharded group."""
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, params, cond_, latent = _dc_setup()
+    bundle = (params, cond_)
+    inputs = model.pack_initial(jnp.stack([latent, latent * 0.5 + 0.1]))
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, inputs, STEPS
+    )
+    mesh = make_axes_mesh(stage=2, frame=2)
+    step = model.pipeline_step_fn(frame_axis="frame", frame_shards=2)
+    pipe = StepPipeline(mesh, step, PipelineConfig(STEPS, 2))
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

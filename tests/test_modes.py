@@ -306,10 +306,11 @@ def test_production_mode_resume_flag_consistency():
 
 
 def test_production_mode_deepcache_auto_topology():
-    """--deepcache + --auto-topology: the planner is constrained to
-    stage-only factorizations instead of aborting on seq/frame/cfg axes
-    the user never requested (on 8 virtual devices the unconstrained
-    throughput plan picks frame/cfg axes) — code-review finding."""
+    """--deepcache + --auto-topology: since round 5 deepcache composes
+    with the intra-sample axes (seq/frame/cfg), so the planner runs
+    UNCONSTRAINED — on 8 virtual devices the throughput plan picks
+    intra-sample axes and the run must execute them with the cache lanes
+    riding the payload (the round-4 stage-only constraint is gone)."""
     r = run_cli([
         "-m", "vdpp_tpu.modes.production", "--preset", "tiny", "--backend", "cpu",
         "--deepcache", "2", "--auto-topology", "throughput",
@@ -318,5 +319,5 @@ def test_production_mode_deepcache_auto_topology():
     ], timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stderr + r.stdout
-    assert "constrained to stage-only plans" in out
+    assert "constrained to stage-only plans" not in out
     assert "final latent norm" in out

@@ -114,9 +114,10 @@ def test_describe_never_calls_slower_plans_faster():
 def test_stage_only_constraint():
     """allow_intra_sample=False restricts the enumeration itself (not a
     post-filter: max_plans truncation could otherwise drop every
-    stage-only plan from the ranked list) — production uses this for
-    --deepcache --auto-topology, where the planner must never pick
-    seq/frame/cfg axes the cached-UNet payload can't compose with."""
+    stage-only plan from the ranked list). Since round 5 --deepcache no
+    longer needs it (the cache lanes compose with seq/frame/cfg); the
+    flag stays as the generic escape hatch for modes that cannot shard
+    within a sample."""
     plans = plan_topology(
         8, total_steps=30, frames=14, latent_w=128, num_samples=8,
         guidance=True, objective="throughput", allow_intra_sample=False,

@@ -733,6 +733,10 @@ class SVDUNet:
         cache: jax.Array,
         use_full: jax.Array,
         split: int = 1,
+        seq_axis: str | None = None,
+        seq_shards: int = 1,
+        frame_axis: str | None = None,
+        frame_shards: int = 1,
     ) -> tuple[jax.Array, jax.Array]:
         """Denoise one step with a deep-feature cache (DeepCache-style
         cached inference: Ma et al. 2023, "DeepCache: Accelerating
@@ -756,9 +760,20 @@ class SVDUNet:
         threads through the pipeline payload exactly like dpmpp2m's
         multistep state (svd_wrapper pack/unpack).
 
-        Unsharded only (no seq/frame/cfg axes) — the wrapper rejects the
-        combinations. The ``use_full`` branch is elementwise-identical to
-        :meth:`apply` (pinned in tests/test_deepcache.py).
+        ``seq_axis``/``frame_axis`` compose the cache step with the
+        intra-sample parallel axes exactly like :meth:`apply`: the sample
+        AND the cache enter replicated over the axis, each shard slices
+        its local W (seq) / frame block — the cache's spatial grid shards
+        like the latent's, at ``W/2^(split-1)`` granularity, which the
+        ``seq_min_divisor`` width check already guarantees is shard-exact
+        — and both the v-prediction and the refreshed cache are
+        all_gathered back to replicated at the end. The gathers sit
+        OUTSIDE the ``lax.cond`` so the full/shallow branch choice never
+        wraps a collective the other branch lacks at the same point.
+        CFG parallelism is handled one level up (the wrapper exchanges
+        per-branch caches with the blended eps in one ppermute pair).
+        The ``use_full`` branch is elementwise-identical to :meth:`apply`
+        (pinned in tests/test_deepcache.py, incl. the sharded variants).
 
         Args:
             cache: ``cache_feature_shape(...)``-shaped deep feature from
@@ -769,7 +784,8 @@ class SVDUNet:
                 step still computes; 1 = cheapest (only the top level).
 
         Returns:
-            ``(v_prediction (B,F,H,W,C_out), new_cache)``.
+            ``(v_prediction (B,F,H,W,C_out), new_cache)`` — both
+            replicated under ``seq_axis``/``frame_axis``.
         """
         cfg = self.config
         n_levels = cfg.num_levels
@@ -778,29 +794,81 @@ class SVDUNet:
         if tuple(cache.shape) != want:
             raise ValueError(f"cache shape {cache.shape} != expected {want}")
         u_start = n_levels - split  # first up block the shallow path runs
+        r = 2 ** (split - 1)
+
+        # Same sharding preconditions as apply().
+        if seq_axis is not None:
+            min_div = cfg.seq_min_divisor(seq_shards)
+            if ww % min_div != 0:
+                raise ValueError(
+                    f"latent width {ww} not divisible by seq_shards x "
+                    f"2^(levels-1) = {min_div}"
+                )
+        if frame_axis is not None and f % frame_shards != 0:
+            raise ValueError(
+                f"frame count {f} not divisible by frame_shards {frame_shards}"
+            )
+        if cfg.fused_groupnorm and (seq_axis is not None or frame_axis is not None):
+            raise ValueError(
+                "fused_groupnorm is incompatible with seq/frame sharding: "
+                "construct the UNet with fused_groupnorm=False (or unset "
+                "VDPP_GN_FUSED) for intra-sample-parallel runs"
+            )
+        amax_axes = tuple(a for a in (seq_axis, frame_axis) if a is not None)
+        c3 = (
+            (lambda h, pp, stride=1, **_: conv2d_halo(
+                h, pp, seq_axis, stride=stride, amax_axes=amax_axes))
+            if seq_axis is not None else
+            (lambda h, pp, **kw: conv2d(h, pp, amax_axes=amax_axes, **kw))
+        )
 
         emb = self._time_embeddings(params, timestep, added_time_ids, b)
+
+        xs = sample.astype(cfg.dtype)
+        cache_l = cache.astype(cfg.dtype)
+        frame_offset: jax.Array | int = 0
+        if frame_axis is not None:
+            f = f // frame_shards
+            fidx = jax.lax.axis_index(frame_axis)
+            frame_offset = fidx * f
+            xs = jax.lax.dynamic_slice_in_dim(xs, frame_offset, f, axis=1)
+            cache_l = jax.lax.dynamic_slice_in_dim(cache_l, frame_offset, f, axis=1)
+
         emb_f = jnp.repeat(emb, f, axis=0)
         ctx_f = jnp.repeat(encoder_hidden_states.astype(cfg.dtype), f, axis=0)
 
-        x_in = sample.astype(cfg.dtype).reshape(b * f, hh, ww, sample.shape[-1])
+        x_in = xs.reshape(b * f, hh, ww, xs.shape[-1])
+        ww_loc = ww
+        if seq_axis is not None:
+            ww_loc = ww // seq_shards
+            sidx = jax.lax.axis_index(seq_axis)
+            x_in = jax.lax.dynamic_slice_in_dim(x_in, sidx * ww_loc, ww_loc, axis=2)
+            cache_l = jax.lax.dynamic_slice_in_dim(
+                cache_l, sidx * (ww_loc // r), ww_loc // r, axis=3
+            )
+        want_local = (b, f, hh // r, ww_loc // r, cfg.block_out_channels[split])
+
+        sharding = dict(seq_axis=seq_axis, frame_axis=frame_axis,
+                        frame_offset=frame_offset)
 
         # Both branches are assembled from the SAME _down_path/_mid/
-        # _up_path/_head bodies apply() runs (at their unsharded
-        # defaults), so the full branch tracks apply() by construction.
+        # _up_path/_head bodies apply() runs, so the full branch tracks
+        # apply() by construction (sharded or not).
         def head(x):
-            return self._head(params, x).reshape(b, f, hh, ww, cfg.out_channels)
+            x = self._head(params, x, seq_axis=seq_axis, c3=c3)
+            return x.reshape(b, f, hh, ww_loc, cfg.out_channels)
 
         def full_branch(operand):
             x, _unused_cache = operand
-            x = conv2d(x, params["conv_in"])
-            x, res_stack = self._down_path(params, x, emb_f, ctx_f, b, f)
-            x = self._mid(params, x, emb_f, ctx_f, b, f)
+            x = c3(x, params["conv_in"])
+            x, res_stack = self._down_path(params, x, emb_f, ctx_f, b, f,
+                                           c3=c3, **sharding)
+            x = self._mid(params, x, emb_f, ctx_f, b, f, **sharding)
             x = self._up_path(params, x, res_stack, emb_f, ctx_f, b, f,
-                              start=0, stop=u_start)
-            new_cache = x.reshape(want).astype(cfg.dtype)
+                              start=0, stop=u_start, c3=c3, **sharding)
+            new_cache = x.reshape(want_local).astype(cfg.dtype)
             x = self._up_path(params, x, res_stack, emb_f, ctx_f, b, f,
-                              start=u_start, stop=n_levels)
+                              start=u_start, stop=n_levels, c3=c3, **sharding)
             return head(x), new_cache
 
         def shallow_branch(operand):
@@ -808,16 +876,26 @@ class SVDUNet:
             # The shallow down output feeds only the skip stack; the last
             # level's downsample is skipped (its skip would feed an up
             # block the shallow path never reaches).
-            x = conv2d(x, params["conv_in"])
+            x = c3(x, params["conv_in"])
             _, res_stack = self._down_path(
                 params, x, emb_f, ctx_f, b, f,
                 n_levels_to_run=split, run_last_downsample=False,
+                c3=c3, **sharding,
             )
-            deep = cached.reshape(b * f, *want[2:])
+            deep = cached.reshape(b * f, *want_local[2:])
             x = self._up_path(params, deep, res_stack, emb_f, ctx_f, b, f,
-                              start=u_start, stop=n_levels)
+                              start=u_start, stop=n_levels, c3=c3, **sharding)
             return head(x), cached
 
-        return jax.lax.cond(
-            use_full, full_branch, shallow_branch, (x_in, cache.astype(cfg.dtype))
+        out, new_cache = jax.lax.cond(
+            use_full, full_branch, shallow_branch, (x_in, cache_l)
         )
+        # Back to replicated: the payload lanes (like the latent) ride the
+        # pipeline replicated over the intra-sample axes.
+        if seq_axis is not None:
+            out = jax.lax.all_gather(out, seq_axis, axis=3, tiled=True)
+            new_cache = jax.lax.all_gather(new_cache, seq_axis, axis=3, tiled=True)
+        if frame_axis is not None:
+            out = jax.lax.all_gather(out, frame_axis, axis=1, tiled=True)
+            new_cache = jax.lax.all_gather(new_cache, frame_axis, axis=1, tiled=True)
+        return out, new_cache

@@ -403,10 +403,22 @@ class StableVideoUNet:
         cache_u: jax.Array,
         cache_c: jax.Array,
         use_full: jax.Array,
+        cfg_axis: str | None = None,
+        seq_axis: str | None = None,
+        seq_shards: int = 1,
+        frame_axis: str | None = None,
+        frame_shards: int = 1,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """noise_pred with a deep-feature cache per CFG branch
         (SVDUNet.apply_cached). Returns (eps, cache_u', cache_c');
-        without guidance only the cond cache is live."""
+        without guidance only the cond cache is live.
+
+        ``seq_axis``/``frame_axis`` pass straight through to
+        ``apply_cached`` (cache enters/leaves replicated). ``cfg_axis``
+        mirrors :meth:`noise_pred`'s CFG parallelism: each device runs ITS
+        branch with ITS branch's cache, then ONE ppermute pair exchanges
+        both the eps and the refreshed cache so payload lanes stay
+        replicated over the axis."""
         md = self.config.dtype
         split = self.deepcache_split
 
@@ -417,7 +429,9 @@ class StableVideoUNet:
                 [lat.astype(md), img_lat.astype(md)], axis=-1
             )
             return self.unet.apply_cached(
-                params, x, timestep, ctx, atids, cache, use_full, split=split
+                params, x, timestep, ctx, atids, cache, use_full, split=split,
+                seq_axis=seq_axis, seq_shards=seq_shards,
+                frame_axis=frame_axis, frame_shards=frame_shards,
             )
 
         if cond.guidance is None:
@@ -428,7 +442,30 @@ class StableVideoUNet:
 
         zeros_lat = jnp.zeros_like(cond.image_latents)
         zeros_ctx = jnp.zeros_like(cond.image_embeddings)
-        if self.cfg_mode == "sequential":
+        if cfg_axis is not None:
+            # Device 0 computes the uncond branch with cache_u, device 1
+            # the cond branch with cache_c (same flag trick as
+            # noise_pred); the refreshed cache rides the same exchange as
+            # the eps so BOTH branch caches stay replicated across the
+            # axis — on cache steps the exchanged tensors are the
+            # untouched inputs, so replication is preserved there too.
+            is_cond = jax.lax.axis_index(cfg_axis) == 1
+            flag = is_cond.astype(md)
+            cache_in = jnp.where(is_cond, cache_c, cache_u)
+            local, cache_new = call(
+                latent_scaled,
+                cond.image_latents * flag,
+                cond.image_embeddings * flag,
+                cache_in,
+            )
+            perm = [(0, 1), (1, 0)]
+            other = jax.lax.ppermute(local, cfg_axis, perm)
+            other_cache = jax.lax.ppermute(cache_new, cfg_axis, perm)
+            uncond = jnp.where(is_cond, other, local)
+            cond_p = jnp.where(is_cond, local, other)
+            cache_u = jnp.where(is_cond, other_cache, cache_new)
+            cache_c = jnp.where(is_cond, cache_new, other_cache)
+        elif self.cfg_mode == "sequential":
             uncond, cache_u = call(latent_scaled, zeros_lat, zeros_ctx, cache_u)
             cond_p, cache_c = call(
                 latent_scaled, cond.image_latents, cond.image_embeddings, cache_c
@@ -472,11 +509,6 @@ class StableVideoUNet:
 
         lat32 = latent.astype(jnp.float32)
         if self.deepcache_interval:
-            if cfg_axis or seq_axis or frame_axis:
-                raise ValueError(
-                    "deepcache does not compose with cfg/seq/frame mesh "
-                    "axes yet — run it unsharded (stage/data axes are fine)"
-                )
             co = self.config.out_channels
             b, f, h, w = latent.shape[:4]
             kf = self._deepcache_packed_channels()
@@ -494,7 +526,9 @@ class StableVideoUNet:
             timestep = 0.25 * jnp.log(sigma)
             scaled = x32 * jax.lax.rsqrt(sigma * sigma + 1.0)
             eps, cache_u, cache_c = self._noise_pred_cached(
-                params, scaled, timestep, cond, cache_u, cache_c, use_full
+                params, scaled, timestep, cond, cache_u, cache_c, use_full,
+                cfg_axis=cfg_axis, seq_axis=seq_axis, seq_shards=seq_shards,
+                frame_axis=frame_axis, frame_shards=frame_shards,
             )
             if self.solver == "dpmpp2m":
                 old_den = lat32[..., co:s0]

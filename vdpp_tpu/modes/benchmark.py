@@ -235,12 +235,6 @@ def main(argv=None) -> int:
         raise SystemExit(
             "--deepcache is implemented for the SVD UNet family only"
         )
-    if args.deepcache and (args.seq_parallel > 1 or args.frame_parallel > 1
-                           or args.cfg_parallel):
-        raise SystemExit(
-            "--deepcache does not compose with --seq-parallel/"
-            "--frame-parallel/--cfg-parallel yet (stage/data axes are fine)"
-        )
     step_fn, bundle, noise_shape, pack, model_name = _build_model(args, None)
     w8a8 = getattr(args, "weights_w8a8", False)
     if (getattr(args, "weights_int8", False) or w8a8) and args.model == "dummy":

@@ -141,14 +141,7 @@ def main(argv=None) -> int:
             seq_min_divisor_unit=config.seq_min_divisor(1),
             guidance=args.guidance_scale is not None,
             objective=args.auto_topology,
-            # DeepCache composes with the stage axis only; constrain the
-            # planner up front rather than aborting later on axes the
-            # user never asked for.
-            allow_intra_sample=not args.deepcache,
         )
-        if args.deepcache:
-            LOGGER.info("auto-topology constrained to stage-only plans "
-                        "(--deepcache)")
         best = plans[0]
         LOGGER.info("auto-topology (%s): %s", args.auto_topology,
                     best.describe())
@@ -164,11 +157,6 @@ def main(argv=None) -> int:
         LOGGER.info("auto-topology ignored: explicit axis flags given")
     sp = args.seq_parallel
     fp = args.frame_parallel
-    if args.deepcache and (sp > 1 or fp > 1 or args.cfg_parallel):
-        raise SystemExit(
-            "--deepcache does not compose with --seq-parallel/"
-            "--frame-parallel/--cfg-parallel yet (stage/data axes are fine)"
-        )
     if sp > 1 and w % config.seq_min_divisor(sp) != 0:
         raise SystemExit(
             f"--seq-parallel {sp}: latent width {w} must divide by "

@@ -130,11 +130,6 @@ class _Engine:
         # Pure-argument validation BEFORE any model construction or
         # checkpoint load (minutes of work on a real chip).
         fp_early = getattr(args, "frame_parallel", 1)
-        if args.deepcache and (args.seq_parallel > 1 or fp_early > 1):
-            raise SystemExit(
-                "--deepcache does not compose with --seq-parallel/"
-                "--frame-parallel yet (the stage axis is fine)"
-            )
         if fp_early > 1 and self.is_dit:
             raise SystemExit(
                 "--frame-parallel serves the SVD family only (the DiT "

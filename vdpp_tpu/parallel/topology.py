@@ -233,9 +233,11 @@ def plan_topology(
             (``EulerKarrasSchedule.create(pad_to_multiple_of=...)``);
             the padding cost enters the scores as padded_T/T.
         allow_intra_sample: when False, only stage-axis factorizations
-            are considered (seq = frame = cfg = 1) — for run modes that
-            do not compose with intra-sample sharding, e.g. --deepcache,
-            whose payload cache lanes assume the full latent per device.
+            are considered (seq = frame = cfg = 1) — an escape hatch for
+            run modes that cannot shard within a sample. (--deepcache no
+            longer needs it: since round 5 the cache lanes enter/leave
+            apply_cached replicated over the intra-sample axes, so
+            deepcache composes with seq/frame/cfg.)
 
     Returns:
         Plans sorted best-first by the objective (ties: fewer devices).
