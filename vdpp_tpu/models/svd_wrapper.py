@@ -460,7 +460,16 @@ class StableVideoUNet:
             )
             perm = [(0, 1), (1, 0)]
             other = jax.lax.ppermute(local, cfg_axis, perm)
-            other_cache = jax.lax.ppermute(cache_new, cfg_axis, perm)
+            # The two exchanges are data-independent; a concurrent thunk
+            # executor may issue them in either order per device, and
+            # devices disagreeing on the order deadlock the collective
+            # rendezvous (observed on XLA:CPU, round 5). The barrier
+            # threads the first permute's result into the second's
+            # operand so every device issues them in the same order.
+            other, cache_dep = jax.lax.optimization_barrier(
+                (other, cache_new)
+            )
+            other_cache = jax.lax.ppermute(cache_dep, cfg_axis, perm)
             uncond = jnp.where(is_cond, other, local)
             cond_p = jnp.where(is_cond, local, other)
             cache_u = jnp.where(is_cond, other_cache, cache_new)
@@ -621,5 +630,22 @@ class StableVideoUNet:
             return self.step(params, latent, step_idx, cond, cfg_axis=cfg_axis,
                              seq_axis=seq_axis, seq_shards=seq_shards,
                              frame_axis=frame_axis, frame_shards=frame_shards)
+
+        if self.deepcache_interval and (
+            seq_axis is not None or frame_axis is not None
+        ):
+            # With an intra-sample axis the apply_cached branch bodies
+            # contain collectives (temporal-halo ppermutes, K/V gathers,
+            # GN-stat psums) and the full branch has MORE of them than
+            # the shallow branch. A pipeline runs different stages at
+            # different step indices in the same tick, so the cached/full
+            # branch choice must evaluate to the SAME value on every
+            # device at every tick or devices park in DIFFERENT
+            # collectives and the program deadlocks (observed on the
+            # 8-device XLA:CPU mesh, round 5; on TPU the hang is the
+            # same). StepPipeline enforces this via the attributes below:
+            # steps_per_stage % interval == 0 and no identity padding.
+            step_fn.collective_uniform_interval = self.deepcache_interval
+            step_fn.collective_uniform_pad = self._n_pad
 
         return step_fn

@@ -141,6 +141,7 @@ def main(argv=None) -> int:
             seq_min_divisor_unit=config.seq_min_divisor(1),
             guidance=args.guidance_scale is not None,
             objective=args.auto_topology,
+            deepcache_interval=args.deepcache,
         )
         best = plans[0]
         LOGGER.info("auto-topology (%s): %s", args.auto_topology,

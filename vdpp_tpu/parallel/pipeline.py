@@ -103,6 +103,30 @@ class StepPipeline:
                 f"mesh stage axis ({mesh.shape[STAGE_AXIS]}) != "
                 f"config.num_stages ({config.num_stages})"
             )
+        # Collective-uniformity contract (svd_wrapper.pipeline_step_fn):
+        # a step_fn whose lax.cond branches contain collectives (deepcache
+        # x seq/frame axes) is only deadlock-free under pipelining when
+        # every device evaluates the SAME branch at every scan iteration
+        # of every tick. Stage s runs step s*K + k at scan slot k, so the
+        # predicate (real_step % interval == 0) is stage-invariant iff
+        # K % interval == 0 and the schedule has no identity padding.
+        # Violations HANG (devices park in different rendezvous) rather
+        # than error — observed on the 8-device XLA:CPU mesh, round 5 —
+        # so refuse them at construction time.
+        interval = getattr(step_fn, "collective_uniform_interval", 0)
+        if interval:
+            pad = getattr(step_fn, "collective_uniform_pad", 0)
+            if pad or config.steps_per_stage % interval:
+                raise ValueError(
+                    f"step_fn declares branch-local collectives with "
+                    f"cadence {interval} (deepcache x intra-sample axis): "
+                    f"pipelining needs steps_per_stage "
+                    f"({config.steps_per_stage}) % interval == 0 and an "
+                    f"unpadded schedule (pad={pad}), or stages take "
+                    f"different cond branches in the same tick and the "
+                    f"branch collectives deadlock. Pick num_stages so "
+                    f"total_steps/num_stages is a multiple of {interval}."
+                )
         self.mesh = mesh
         self.step_fn = step_fn
         self.config = config

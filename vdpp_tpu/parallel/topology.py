@@ -208,6 +208,7 @@ def plan_topology(
     cfg_efficiency: float = 0.97,
     allow_pad_steps: bool = True,
     allow_intra_sample: bool = True,
+    deepcache_interval: int = 0,
     max_plans: int = 8,
 ) -> list[TopologyPlan]:
     """Rank valid (stage, seq, frame, cfg) factorizations of ``n_devices``.
@@ -238,6 +239,14 @@ def plan_topology(
             longer needs it: since round 5 the cache lanes enter/leave
             apply_cached replicated over the intra-sample axes, so
             deepcache composes with seq/frame/cfg.)
+        deepcache_interval: active DeepCache cadence (0 = off). With a
+            seq or frame axis the cached/full ``lax.cond`` branches
+            contain collectives, so pipelining additionally requires the
+            branch predicate to be stage-invariant: steps_per_stage must
+            be a multiple of the interval and the schedule unpadded
+            (StepPipeline enforces this — violations would deadlock).
+            Plans breaking that contract are filtered out here so
+            ``--auto-topology --deepcache N`` never selects one.
 
     Returns:
         Plans sorted best-first by the objective (ties: fewer devices).
@@ -267,6 +276,17 @@ def plan_topology(
                     elif allow_pad_steps:
                         padded = math.ceil(total_steps / stage_ax) * stage_ax
                     else:
+                        continue
+                    if (
+                        deepcache_interval
+                        and stage_ax > 1
+                        and (seq_ax > 1 or frame_ax > 1)
+                        and (
+                            padded != total_steps
+                            or (total_steps // stage_ax) % deepcache_interval
+                        )
+                    ):
+                        # collective-uniformity contract (see docstring)
                         continue
                     pad_cost = padded / total_steps
                     # Per-step speedup of the intra-step axes. A cfg axis
