@@ -11,6 +11,11 @@ TPU chip) had fewer devices than requested.  These tests pin both paths:
   its own ``--xla_force_host_platform_device_count`` mesh and succeed.
 """
 
+import json
+import os
+import subprocess
+import sys
+
 import jax
 
 import __graft_entry__ as graft
@@ -44,6 +49,57 @@ def test_needs_reexec_is_env_only(monkeypatch):
     monkeypatch.delenv(graft._CHILD_ENV)
     monkeypatch.setenv("VDPP_DRYRUN_REAL", "1")
     assert not graft._needs_reexec(16)
+
+
+def test_dryrun_budget_expiry_emits_parseable_partial_and_exits_zero():
+    """Rounds 3 and 4 lost the multichip artifact to rc=124 with an EMPTY
+    tail.  The round-5 contract: on self-budget expiry the driver-spawned
+    child prints a PARTIAL but parseable ``DRYRUN_JSON`` line (with
+    ``budget_exhausted: true``) and exits 0.  Pin it with budget=0 so every
+    case is budget-skipped — the cheapest possible end-to-end run of the
+    expiry path."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append("--xla_force_host_platform_device_count=2")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    env[graft._CHILD_ENV] = "1"  # the driver-child path (arms the watchdog)
+    env["VDPP_DRYRUN_BUDGET_S"] = "0"
+    env.pop("VDPP_DRYRUN_MARKER", None)
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(2)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("DRYRUN_JSON=")
+    ]
+    assert len(json_lines) == 1, proc.stdout
+    payload = json.loads(json_lines[0][len("DRYRUN_JSON="):])
+    assert payload["budget_exhausted"] is True
+    assert payload["n_devices"] == 2
+    # Nothing ran, so ok must be false — but every case is accounted for.
+    assert payload["ok"] is False
+    assert payload["cases"], payload
+    assert all(
+        v in ("skipped", "skipped_budget") for v in payload["cases"].values()
+    ), payload
+    # Per-case lines were flushed before the final verdict (never an
+    # empty tail again).
+    assert any(
+        ln.startswith("DRYRUN_CASE ") for ln in proc.stdout.splitlines()
+    ), proc.stdout
 
 
 def test_dryrun_source_never_probes_devices_before_reexec():
