@@ -58,11 +58,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-frames", type=int, default=8)
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m"],
+                   choices=["euler", "heun", "dpmpp2m", "flowmatch"],
                    help="euler = reference semantics; heun = 2nd-order EDM "
                         "(2 DiT evals/step, use ~half the --steps); "
                         "dpmpp2m = 2nd-order multistep DPM-Solver++ "
-                        "(1 eval/step, use ~half the --steps)")
+                        "(1 eval/step, use ~half the --steps); flowmatch "
+                        "= rectified-flow parameterization (shifted-"
+                        "linear schedule, velocity prediction — the "
+                        "SD3/CogVideoX-class convention; pair with a "
+                        "flow-matching checkpoint)")
+    p.add_argument("--flow-shift", type=float, default=3.0,
+                   help="flowmatch only: resolution shift of the "
+                        "sigma schedule (SD3 convention; 1.0 = plain "
+                        "linear)")
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--seq-parallel", type=int, default=1)
     p.add_argument("--num-samples", type=int, default=1)
@@ -174,7 +182,7 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     t5 = T5TextEncoder(t5_cfg)
     wrapper = DiTVideoWrapper(dit_cfg, num_steps=args.steps,
-                              solver=args.solver)
+                              solver=args.solver, flow_shift=args.flow_shift)
     vae_dec = TemporalVAEDecoder(vae_cfg)
     if args.checkpoint:
         from vdpp_tpu.utils.weights import load_params

@@ -229,6 +229,34 @@ def test_generate_video_text_cli(tmp_path):
     )
 
 
+def test_generate_video_text_flowmatch_cli(tmp_path):
+    """The rectified-flow parameterization drives the same text->video
+    app end to end (--solver flowmatch swaps schedule + conventions)."""
+    r = run_cli([
+        "scripts/generate_video_text.py", "--prompt", "ci smoke test",
+        "--random-weights", "--preset", "tiny", "--backend", "cpu",
+        "--num-frames", "2", "--steps", "4", "--num-stages", "2",
+        "--solver", "flowmatch", "--flow-shift", "3.0",
+        "--output-dir", str(tmp_path),
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TIMING" in r.stderr + r.stdout
+    assert any(p.suffix in (".y4m", ".mp4") for p in tmp_path.iterdir()), (
+        list(tmp_path.iterdir())
+    )
+
+
+def test_serve_rejects_flowmatch_for_svd():
+    """Pure-argument validation: flowmatch is a DiT-family
+    parameterization; the SVD preset must refuse before any model build."""
+    r = run_cli([
+        "-m", "vdpp_tpu.modes.serve", "--preset", "tiny", "--backend", "cpu",
+        "--solver", "flowmatch", "--port", "0",
+    ])
+    assert r.returncode != 0
+    assert "flowmatch" in (r.stderr + r.stdout)
+
+
 def test_benchmark_rejects_bad_split():
     r = run_cli([
         "-m", "vdpp_tpu.modes.benchmark", "--backend", "cpu",

@@ -240,6 +240,56 @@ def dpmpp2m_step_v_prediction(
     return x_next.astype(out_dtype), denoised.astype(out_dtype)
 
 
+def flowmatch_sigmas(num_steps: int, shift: float = 3.0) -> np.ndarray:
+    """Shifted-linear flow-matching sigma table, descending, trailing 0.
+
+    Rectified-flow / flow-matching models (SD3, CogVideoX, HunyuanVideo
+    class — the dominant parameterization for current text-to-video DiTs)
+    define ``x_t = (1 - t) x0 + t * noise`` with the model predicting the
+    velocity ``v = noise - x0``. The inference schedule is the linear time
+    grid ``t_i = 1, (N-1)/N, ..., 1/N`` warped by the resolution shift
+
+        sigma = shift * t / (1 + (shift - 1) * t)
+
+    (the SD3 "shifted" discretization; ``shift=1`` recovers the plain
+    linear grid). ``sigmas[0] == 1`` exactly for every shift, and the
+    trailing 0 terminates the ODE at the data point.
+
+    Beyond the reference (whose only schedule family is diffusers'
+    EulerDiscrete/Karras, reference: src/models/svd_unet.py:77-102).
+    """
+    if num_steps < 1:
+        raise ValueError("num_steps must be >= 1")
+    if shift <= 0.0:
+        raise ValueError("shift must be > 0")
+    t = np.linspace(1.0, 1.0 / num_steps, num_steps, dtype=np.float64)
+    sig = shift * t / (1.0 + (shift - 1.0) * t)
+    return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
+def flowmatch_step(
+    latent: jax.Array,
+    velocity_pred: jax.Array,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    out_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """One fp32 flow-matching Euler update: ``x += (sigma_next - sigma) v``.
+
+    With ``x_t = (1 - t) x0 + t n`` the probability-flow ODE is simply
+    ``dx/dt = v``, so the Euler update is exact in ``v``'s linear regime.
+    Identity padding (``sigma_next == sigma``) is a bitwise no-op, the
+    same exactness property :func:`euler_step_v_prediction` gives the
+    pipeline's padded schedules.
+    """
+    out_dtype = out_dtype or latent.dtype
+    x = latent.astype(jnp.float32)
+    v = velocity_pred.astype(jnp.float32)
+    s = jnp.asarray(sigma, dtype=jnp.float32)
+    s_next = jnp.asarray(sigma_next, dtype=jnp.float32)
+    return (x + (s_next - s) * v).astype(out_dtype)
+
+
 @dataclass(frozen=True)
 class EulerKarrasSchedule:
     """Precomputed schedule: sigma table + continuous timesteps.
@@ -308,3 +358,67 @@ class EulerKarrasSchedule:
         s = sig[step_idx]
         s_next = sig[jnp.asarray(step_idx) + 1]
         return euler_step_v_prediction(latent, noise_pred, s, s_next)
+
+
+@dataclass(frozen=True)
+class FlowMatchSchedule:
+    """Precomputed flow-matching schedule (:func:`flowmatch_sigmas`).
+
+    Mirrors :class:`EulerKarrasSchedule`'s surface so the DiT wrapper can
+    swap schedule families behind one attribute:
+
+    * ``timesteps``: ``sigma * 1000`` — the discretization public
+      flow-matching checkpoints (SD3/CogVideoX class) feed their timestep
+      embedding, so a converted checkpoint sees its training convention;
+    * ``init_noise_sigma == 1.0``: ``x_1`` is pure noise (vs the
+      variance-exploding ``sqrt(sigma_0^2 + 1)``);
+    * identity padding via duplicate leading sigmas — ``dt == 0`` makes
+      :func:`flowmatch_step` a bitwise no-op, so padded and unpadded
+      schedules produce identical latents (the pipeline's divisibility
+      escape hatch, same contract as EulerKarrasSchedule.create).
+    """
+
+    sigmas: np.ndarray
+    timesteps: np.ndarray
+    init_noise_sigma: float
+    num_steps: int = field(default=0)
+
+    @classmethod
+    def create(
+        cls,
+        num_steps: int,
+        shift: float = 3.0,
+        pad_to_multiple_of: int | None = None,
+    ) -> "FlowMatchSchedule":
+        sig = flowmatch_sigmas(num_steps, shift)
+        if pad_to_multiple_of:
+            pad = (-num_steps) % pad_to_multiple_of
+            if pad:
+                sig = np.concatenate([np.full(pad, sig[0], np.float32), sig])
+                num_steps += pad
+        return cls(
+            sigmas=sig,
+            timesteps=(sig[:-1] * 1000.0).astype(np.float32),
+            init_noise_sigma=1.0,
+            num_steps=num_steps,
+        )
+
+    def sigma_at(self, step: jax.Array | int) -> jax.Array:
+        """Dynamic (traceable) sigma lookup."""
+        return jnp.asarray(self.sigmas)[step]
+
+    def timestep_at(self, step: jax.Array | int) -> jax.Array:
+        """Dynamic (traceable) model-timestep lookup (``sigma * 1000``)."""
+        return jnp.asarray(self.timesteps)[step]
+
+    def step(
+        self,
+        latent: jax.Array,
+        velocity_pred: jax.Array,
+        step_idx: jax.Array | int,
+    ) -> jax.Array:
+        """One flow-match Euler update using table sigmas at ``step_idx``."""
+        sig = jnp.asarray(self.sigmas)
+        s = sig[step_idx]
+        s_next = sig[jnp.asarray(step_idx) + 1]
+        return flowmatch_step(latent, velocity_pred, s, s_next)

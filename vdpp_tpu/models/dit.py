@@ -34,8 +34,10 @@ import jax.numpy as jnp
 
 from vdpp_tpu.diffusion.scheduler import (
     EulerKarrasSchedule,
+    FlowMatchSchedule,
     dpmpp2m_step_v_prediction,
     euler_step_v_prediction,
+    flowmatch_step,
     heun_step_v_prediction,
 )
 from vdpp_tpu.ops.attention import attention, init_attention, temporal_self_attention
@@ -380,15 +382,31 @@ class DiTVideoWrapper:
         sigma_min: float = 0.002,
         sigma_max: float = 700.0,
         solver: str = "euler",
+        flow_shift: float = 3.0,
     ):
         import os
 
-        if solver not in ("euler", "heun", "dpmpp2m"):
-            raise ValueError("solver must be 'euler', 'heun' or 'dpmpp2m'")
+        if solver not in ("euler", "heun", "dpmpp2m", "flowmatch"):
+            raise ValueError(
+                "solver must be 'euler', 'heun', 'dpmpp2m' or 'flowmatch'"
+            )
         self.solver = solver
         self.config = config or DiTVideoConfig.latte_xl()
         self.model = DiTVideo(self.config)
-        self.schedule = EulerKarrasSchedule.create(num_steps, sigma_min, sigma_max)
+        # flowmatch is a different PARAMETERIZATION (rectified flow:
+        # x_t = (1-t)x0 + t*n, model predicts velocity), not just another
+        # ODE solver over the EDM schedule — it swaps the sigma table,
+        # the init-noise scale (1.0) and the timestep convention
+        # (sigma*1000) together. SVD's published weights are v-prediction
+        # EDM, so StableVideoUNet intentionally does NOT offer it.
+        if solver == "flowmatch":
+            self.schedule: EulerKarrasSchedule | FlowMatchSchedule = (
+                FlowMatchSchedule.create(num_steps, shift=flow_shift)
+            )
+        else:
+            self.schedule = EulerKarrasSchedule.create(
+                num_steps, sigma_min, sigma_max
+            )
         # MoE dispatch knobs resolve ONCE here, not at trace time: read
         # inside the jitted body, a cached program would silently keep the
         # first call's value (the VDPP_FLASH_EXP bug class). Construct a
@@ -460,6 +478,13 @@ class DiTVideoWrapper:
             return fwd(context)
 
         lat32 = latent.astype(jnp.float32)
+        if self.solver == "flowmatch":
+            # Rectified flow: no EDM input scaling (x_t is already the
+            # model's input convention), timestep = sigma * 1000 (the
+            # public flow-matching discretization), model output is the
+            # velocity and dx/dt = v.
+            v = eps_at(lat32, sigma * 1000.0)
+            return flowmatch_step(lat32, v, sigma, sigma_next, latent.dtype)
         if self.solver == "heun":
             return heun_step_v_prediction(
                 lat32, eps_at, sigma, sigma_next, latent.dtype

@@ -77,10 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m"],
+                   choices=["euler", "heun", "dpmpp2m", "flowmatch"],
                    help="ODE solver (see production --solver); dpmpp2m "
                         "gives 2nd-order accuracy at 1 eval/step — fewer "
-                        "--steps for the same quality per request")
+                        "--steps for the same quality per request; "
+                        "flowmatch = rectified-flow parameterization "
+                        "(--model dit3d only)")
     p.add_argument("--deepcache", type=int, default=0, metavar="N",
                    help="SVD preset only: DeepCache-style cached inference "
                         "— full UNet every N steps (0 = off; changes "
@@ -134,6 +136,12 @@ class _Engine:
             raise SystemExit(
                 "--frame-parallel serves the SVD family only (the DiT "
                 "token axis already covers frames via --seq-parallel)"
+            )
+        if args.solver == "flowmatch" and not self.is_dit:
+            raise SystemExit(
+                "--solver flowmatch serves the DiT family only: SVD's "
+                "published weights are v-prediction EDM, a different "
+                "parameterization from rectified flow (--model dit3d)"
             )
         if fp_early > 1 and args.num_frames % fp_early != 0:
             raise SystemExit(
