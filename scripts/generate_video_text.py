@@ -41,6 +41,13 @@ LOGGER = logging.getLogger("vdpp.generate_text")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompt", default="a video")
+    p.add_argument("--negative-prompt", default=None,
+                   help="condition the uncond CFG branch on this prompt's "
+                        "encoding instead of zeros (standard negative-"
+                        "prompt semantics; needs --guidance-scale)")
+    p.add_argument("--negative-token-ids", default=None,
+                   help="comma-separated token ids for the negative prompt "
+                        "(overrides --negative-prompt hashing)")
     p.add_argument("--token-ids", default=None,
                    help="comma-separated token ids (overrides --prompt hashing)")
     p.add_argument("--token-ids-file", default=None,
@@ -178,6 +185,28 @@ def main(argv=None) -> int:
                 "meaningful conditioning"
             )
 
+    neg_ids = None
+    if args.negative_token_ids:
+        neg_ids = np.asarray(
+            [int(t) for t in args.negative_token_ids.split(",")], np.int32
+        ).reshape(1, -1)
+    elif args.negative_prompt is not None:
+        neg_ids = np.asarray(
+            hash_tokenize(args.negative_prompt, t5_cfg.vocab_size,
+                          args.max_tokens),
+            np.int32,
+        ).reshape(1, -1)
+    if neg_ids is not None:
+        # The cfg-parallel axis selects the per-device context by value,
+        # which needs equal token counts: right-pad the shorter id list
+        # with EOS (the hash tokenizer's terminator, vocab_size - 1).
+        eos = t5_cfg.vocab_size - 1
+        want = max(ids.shape[1], neg_ids.shape[1])
+        ids = np.pad(ids, ((0, 0), (0, want - ids.shape[1])),
+                     constant_values=eos)
+        neg_ids = np.pad(neg_ids, ((0, 0), (0, want - neg_ids.shape[1])),
+                         constant_values=eos)
+
     # ---- models ----
     t0 = time.perf_counter()
     t5 = T5TextEncoder(t5_cfg)
@@ -204,6 +233,10 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     ctx = t5.apply(t5_params, jnp.asarray(ids))  # (1, M, D)
     ctx = jax.block_until_ready(ctx).astype(jnp.float32)
+    if neg_ids is not None:
+        neg_ctx = t5.apply(t5_params, jnp.asarray(neg_ids))
+        neg_ctx = jax.block_until_ready(neg_ctx).astype(jnp.float32)
+        ctx = (neg_ctx, ctx)  # tuple context -> negative-prompt CFG
     del t5_params
     guidance = make_guidance_ramp(args.guidance_scale, args.num_frames)
     t_encode = time.perf_counter() - t0

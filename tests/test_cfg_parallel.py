@@ -125,3 +125,57 @@ def test_cfg_runner_rejects_bad_mesh():
     wrapper, _, _ = _dit_setup("joint3d")
     with pytest.raises(ValueError, match="cfg"):
         CFGParallelRunner(make_pipeline_mesh(2), wrapper.pipeline_step_fn(), STEPS)
+
+
+# --------------------- negative-prompt conditioning -------------------- #
+
+def test_negative_prompt_zero_context_matches_zeros_uncond():
+    """A (zeros, ctx) tuple context must be BITWISE identical to the plain
+    array context (whose uncond branch conditions on zeros) — the legacy
+    path is the zero-negative special case."""
+    wrapper, (params, ctx, guidance), latent = _dit_setup("joint3d")
+    x_plain, x_tuple = latent, latent
+    for s in range(STEPS):
+        x_plain = wrapper.step(params, x_plain, s, ctx, guidance)
+        x_tuple = wrapper.step(
+            params, x_tuple, s, (jnp.zeros_like(ctx), ctx), guidance
+        )
+    np.testing.assert_array_equal(np.asarray(x_plain), np.asarray(x_tuple))
+
+
+def test_negative_prompt_changes_the_uncond_branch():
+    wrapper, (params, ctx, guidance), latent = _dit_setup("joint3d")
+    neg = jax.random.normal(jax.random.key(11), ctx.shape)
+    x_plain, x_neg = latent, latent
+    for s in range(STEPS):
+        x_plain = wrapper.step(params, x_plain, s, ctx, guidance)
+        x_neg = wrapper.step(params, x_neg, s, (neg, ctx), guidance)
+    assert float(jnp.max(jnp.abs(x_plain - x_neg))) > 1e-4
+
+
+def test_negative_prompt_rides_the_cfg_axis():
+    """With a tuple context the cfg-parallel devices condition on their
+    OWN branch's encoding (device 0: negative, device 1: positive);
+    output equals the sequential-CFG single-device oracle elementwise."""
+    wrapper, (params, ctx, guidance), latent = _dit_setup("joint3d")
+    neg = jax.random.normal(jax.random.key(12), ctx.shape)
+    bundle = (params, (neg, ctx), guidance)
+    ref = run_reference_single_device(
+        wrapper.pipeline_step_fn(), bundle, latent[None], STEPS
+    )[0]
+    runner = CFGParallelRunner(
+        make_cfg_mesh(), wrapper.pipeline_step_fn(cfg_axis="cfg"), STEPS
+    )
+    out = runner.run(bundle, latent)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_negative_prompt_cfg_axis_rejects_shape_mismatch():
+    wrapper, (params, ctx, guidance), latent = _dit_setup("joint3d")
+    neg = jnp.zeros((B, ctx.shape[1] + 1, ctx.shape[2]), ctx.dtype)
+    runner = CFGParallelRunner(
+        make_cfg_mesh(), wrapper.pipeline_step_fn(cfg_axis="cfg"), STEPS
+    )
+    with pytest.raises(ValueError, match="equal shape"):
+        runner.run((params, (neg, ctx), guidance), latent)

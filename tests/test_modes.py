@@ -231,9 +231,12 @@ def test_generate_video_text_cli(tmp_path):
 
 def test_generate_video_text_flowmatch_cli(tmp_path):
     """The rectified-flow parameterization drives the same text->video
-    app end to end (--solver flowmatch swaps schedule + conventions)."""
+    app end to end (--solver flowmatch swaps schedule + conventions),
+    composed with negative-prompt CFG (tuple context through the
+    pipeline bundle)."""
     r = run_cli([
         "scripts/generate_video_text.py", "--prompt", "ci smoke test",
+        "--negative-prompt", "blurry dark frames",
         "--random-weights", "--preset", "tiny", "--backend", "cpu",
         "--num-frames", "2", "--steps", "4", "--num-stages", "2",
         "--solver", "flowmatch", "--flow-shift", "3.0",

@@ -194,6 +194,43 @@ def test_generate_from_prompt(server_text):
     assert a != c       # the prompt conditions the DiT
 
 
+def test_generate_with_negative_prompt(server_text):
+    """negative_prompt conditions the uncond CFG branch: same (prompt,
+    seed) with vs without it must produce DIFFERENT videos, and the pair
+    is deterministic."""
+    def fetch(body):
+        req = urllib.request.Request(
+            server_text + "/generate",
+            data=json.dumps({"seed": 7, "format": "y4m", **body}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with _open(req) as r:
+            return r.read()
+
+    plain = fetch({"prompt": "a red panda"})
+    neg1 = fetch({"prompt": "a red panda", "negative_prompt": "blurry, dark"})
+    neg2 = fetch({"prompt": "a red panda", "negative_prompt": "blurry, dark"})
+    assert neg1.startswith(b"YUV4MPEG2")
+    assert neg1 == neg2      # deterministic
+    assert neg1 != plain     # the negative prompt changes the uncond branch
+
+
+def test_negative_prompt_on_svd_is_a_400(server):
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps(
+            {"seed": 1, "format": "gif", "negative_prompt": "blurry"}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=120)
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
 def test_metrics_endpoint(server):
     """/metrics reports request counters and the rolling latency window
     (exercised after the generate tests above have served requests)."""

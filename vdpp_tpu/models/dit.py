@@ -445,6 +445,16 @@ class DiTVideoWrapper:
         sigma = sigmas[step_idx]
         sigma_next = sigmas[step_idx + 1]
 
+        # Negative-prompt support: ``context`` may be a 2-tuple
+        # ``(neg_ctx, pos_ctx)`` — the uncond CFG branch then conditions
+        # on the negative prompt's encoding instead of zeros (the
+        # standard negative-prompt semantics). A plain array keeps the
+        # zeros-uncond behavior bit-for-bit (a zero neg_ctx is identical).
+        # Tuples ride the bundle pytree unchanged through the pipeline.
+        neg_context = None
+        if isinstance(context, tuple):
+            neg_context, context = context
+
         def eps_at(scaled, timestep):
             """Full (CFG-blended) noise prediction at one (x, sigma) point —
             the solver-facing model call (Heun evaluates it twice)."""
@@ -463,13 +473,33 @@ class DiTVideoWrapper:
                     # CFG parallelism: device 0 of the size-2 axis runs the
                     # uncond branch, device 1 the cond branch; one ppermute
                     # swaps the results (output replicated over the axis).
+                    # Both branches must trace ONE model call, so the
+                    # per-device context is selected by value — which
+                    # needs equal token counts for a negative prompt (the
+                    # CLIs pad ids to a common length).
                     is_cond = jax.lax.axis_index(cfg_axis) == 1
-                    local = fwd(context * is_cond.astype(context.dtype))
+                    if neg_context is not None:
+                        if neg_context.shape != context.shape:
+                            raise ValueError(
+                                "cfg-axis CFG needs neg/pos contexts of "
+                                f"equal shape, got {neg_context.shape} vs "
+                                f"{context.shape} (pad token ids to a "
+                                "common length)"
+                            )
+                        ctx_local = jnp.where(
+                            is_cond, context, neg_context.astype(context.dtype)
+                        )
+                    else:
+                        ctx_local = context * is_cond.astype(context.dtype)
+                    local = fwd(ctx_local)
                     other = jax.lax.ppermute(local, cfg_axis, [(0, 1), (1, 0)])
                     uncond = jnp.where(is_cond, other, local)
                     cond = jnp.where(is_cond, local, other)
                 else:
-                    uncond = fwd(jnp.zeros_like(context))
+                    uncond = fwd(
+                        jnp.zeros_like(context) if neg_context is None
+                        else neg_context
+                    )
                     cond = fwd(context)
                 g = guidance.astype(jnp.float32)
                 return uncond.astype(jnp.float32) + g * (
@@ -508,7 +538,9 @@ class DiTVideoWrapper:
     def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1,
                          cfg_axis: str | None = None,
                          expert_axis: str | None = None):
-        """bundle = (params, context|None, guidance|None).
+        """bundle = (params, context|None, guidance|None); ``context``
+        may be a ``(neg_ctx, pos_ctx)`` tuple for negative-prompt CFG
+        (see :meth:`step`).
 
         ``seq_axis``/``seq_shards`` build a sequence-parallel step_fn;
         ``cfg_axis`` a CFG-parallel one; ``expert_axis`` an

@@ -11,7 +11,8 @@ on its own reserved device subset (task decoupling), so pipeline ticks
 never queue behind decode work on the stage devices.
 
     POST /generate  {"seed": 42, "num_frames": 4, "guidance_scale": 3.0,
-                     "prompt": "...", "format": "y4m"|"gif"}
+                     "prompt": "...", "negative_prompt": "...",
+                     "format": "y4m"|"gif"}
         -> video bytes (y4m/gif via the native C++ packer)
     GET  /healthz   -> {"status": "ok", ...} (503 {"status": "draining"}
                        once a shutdown signal has been received)
@@ -239,35 +240,59 @@ class _Engine:
             args.model, self.stages, args.steps,
         )
 
-    def _text_context(self, prompt: str):
+    def _text_context(self, prompt: str, negative: str | None = None):
         """T5-encode a prompt (hash tokenizer without a checkpoint vocab);
-        cached per prompt."""
+        cached per (prompt, negative). With a negative prompt the result
+        is a ``(neg_ctx, pos_ctx)`` tuple (the DiT wrapper's
+        negative-prompt CFG form); both id lists are EOS-padded to a
+        common length so the cfg-parallel axis can select per device."""
+        cache_key = (prompt, negative)
         with self.lock:
-            if prompt in self._ctx_cache:
-                self._ctx_cache.move_to_end(prompt)
-                return self._ctx_cache[prompt]
+            if cache_key in self._ctx_cache:
+                self._ctx_cache.move_to_end(cache_key)
+                return self._ctx_cache[cache_key]
         from vdpp_tpu.models.t5_encoder import hash_tokenize
 
-        ids = self.jnp.asarray(
-            [hash_tokenize(prompt, self.t5_cfg.vocab_size, 64)], self.jnp.int32
-        )
-        ctx = self.jax.block_until_ready(
-            self.t5.apply(self.t5_params, ids)
-        ).astype(self.jnp.float32)
+        jnp = self.jnp
+        pos = hash_tokenize(prompt, self.t5_cfg.vocab_size, 64)
+        if negative is None:
+            ctx = self.jax.block_until_ready(
+                self.t5.apply(self.t5_params, jnp.asarray([pos], jnp.int32))
+            ).astype(jnp.float32)
+        else:
+            neg = hash_tokenize(negative, self.t5_cfg.vocab_size, 64)
+            eos = self.t5_cfg.vocab_size - 1
+            want = max(len(pos), len(neg))
+            pos = pos + [eos] * (want - len(pos))
+            neg = neg + [eos] * (want - len(neg))
+            pos_ctx = self.t5.apply(
+                self.t5_params, jnp.asarray([pos], jnp.int32)
+            ).astype(jnp.float32)
+            neg_ctx = self.t5.apply(
+                self.t5_params, jnp.asarray([neg], jnp.int32)
+            ).astype(jnp.float32)
+            ctx = (
+                self.jax.block_until_ready(neg_ctx),
+                self.jax.block_until_ready(pos_ctx),
+            )
         with self.lock:
-            self._ctx_cache[prompt] = ctx
+            self._ctx_cache[cache_key] = ctx
             while len(self._ctx_cache) > self.max_ctx_cache:
                 self._ctx_cache.popitem(last=False)
         return ctx
 
     def _get_stream(self, num_frames: int, guidance: float | None,
-                    prompt: str | None):
+                    prompt: str | None, negative: str | None = None):
         """One PipelineStream per conditioning config; requests with the
         same config share its filled pipeline."""
         jax, jnp = self.jax, self.jnp
         args = self.args
         h, w = args.latent_hw
-        key = (num_frames, guidance, prompt if self.is_dit else None)
+        key = (
+            num_frames, guidance,
+            prompt if self.is_dit else None,
+            negative if self.is_dit else None,
+        )
         with self.lock:
             if key in self._streams:
                 cached = self._streams[key]
@@ -281,7 +306,7 @@ class _Engine:
         if self.is_dit:
             from vdpp_tpu.models.svd_wrapper import make_guidance_ramp
 
-            ctx = self._text_context(prompt or "")
+            ctx = self._text_context(prompt or "", negative)
             bundle = (self.params, ctx, make_guidance_ramp(guidance, num_frames))
         else:
             from vdpp_tpu.models.svd_wrapper import make_dummy_conditioning
@@ -314,7 +339,12 @@ class _Engine:
         return winner
 
     def generate(self, seed: int, num_frames: int, guidance: float | None,
-                 prompt: str | None = None):
+                 prompt: str | None = None, negative: str | None = None):
+        if negative is not None and not self.is_dit:
+            raise BadRequest(
+                "negative_prompt conditions the DiT text family only "
+                "(the SVD preset is image-conditioned)"
+            )
         jax = self.jax
         args = self.args
         h, w = args.latent_hw
@@ -326,7 +356,7 @@ class _Engine:
                 f"num_frames {num_frames} must divide by --frame-parallel "
                 f"{fp}"
             )
-        stream = self._get_stream(num_frames, guidance, prompt)
+        stream = self._get_stream(num_frames, guidance, prompt, negative)
         noise = self.model.pack_initial(
             jax.random.normal(jax.random.key(seed), (1, num_frames, h, w, 4))
             * self.model.init_noise_sigma
@@ -343,7 +373,8 @@ class _Engine:
             except RuntimeError:
                 if attempt == 2:
                     raise
-                stream = self._get_stream(num_frames, guidance, prompt)
+                stream = self._get_stream(num_frames, guidance, prompt,
+                                          negative)
         latents = self.model.unpack_final(latents)
         scaled = latents / self.vae_cfg.scaling_factor
         if self.decode_mesh is not None:
@@ -446,12 +477,14 @@ def _make_handler(engine: _Engine, fps: int):
                     if guidance is not None:
                         guidance = float(guidance)
                     prompt = req.get("prompt")
+                    negative = req.get("negative_prompt")
                     fmt = req.get("format", "gif")
                     if fmt not in ("gif", "y4m"):
                         raise BadRequest(f"format {fmt!r}: use 'gif' or 'y4m'")
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     raise BadRequest(str(e)) from e
-                video, elapsed = engine.generate(seed, frames, guidance, prompt)
+                video, elapsed = engine.generate(seed, frames, guidance,
+                                                 prompt, negative)
                 frames_u8 = frames_to_uint8(np.asarray(video))
                 if fmt == "y4m":
                     import tempfile
