@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance-scale", type=float, default=3.0)
     p.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m"],
+                   choices=["euler", "euler_a", "heun", "dpmpp2m"],
                    help="euler = reference semantics; heun = 2nd-order EDM "
                         "(2 UNet evals/step, use ~half the --steps); "
                         "dpmpp2m = 2nd-order multistep DPM-Solver++ "
@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vae-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="decoder compute dtype (bfloat16 halves decode memory)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sampler-seed", type=int, default=0,
+                   help="euler_a only: seed of the per-step injected "
+                        "noise (construction-time; vary per run)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--log-level", default="INFO")
     return p
@@ -212,6 +215,7 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     model = StableVideoUNet(unet_cfg, num_steps=args.steps, cfg_mode=args.cfg_mode,
                             solver=args.solver,
+                            sampler_seed=args.sampler_seed,
                             deepcache_interval=args.deepcache,
                             deepcache_split=args.deepcache_split)
     clip_enc = CLIPVisionEncoder(clip_cfg)

@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg-mode", default="sequential",
                    choices=["sequential", "batched"])
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m"])
+                   choices=["euler", "euler_a", "heun", "dpmpp2m"])
     p.add_argument("--deepcache", type=int, default=0, metavar="N")
     p.add_argument("--deepcache-split", type=int, default=1)
     p.add_argument("--fps", type=int, default=7)
@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--decode-chunk-frames", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sampler-seed", type=int, default=0,
+                   help="euler_a only: seed of the per-step injected "
+                        "noise (construction-time; vary per run)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--log-level", default="INFO")
     return p
@@ -125,7 +128,8 @@ def main(argv=None) -> int:
 
     model = StableVideoUNet(
         unet_cfg, num_steps=args.steps, cfg_mode=args.cfg_mode,
-        solver=args.solver, deepcache_interval=args.deepcache,
+        solver=args.solver, sampler_seed=args.sampler_seed,
+        deepcache_interval=args.deepcache,
         deepcache_split=args.deepcache_split,
     )
     clip_enc = CLIPVisionEncoder(clip_cfg)

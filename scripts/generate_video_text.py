@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-frames", type=int, default=8)
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m", "flowmatch"],
+                   choices=["euler", "euler_a", "heun", "dpmpp2m", "flowmatch"],
                    help="euler = reference semantics; heun = 2nd-order EDM "
                         "(2 DiT evals/step, use ~half the --steps); "
                         "dpmpp2m = 2nd-order multistep DPM-Solver++ "
@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--decode-chunk-frames", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sampler-seed", type=int, default=0,
+                   help="euler_a only: seed of the per-step injected "
+                        "noise (construction-time; vary per run)")
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--log-level", default="INFO")
     return p
@@ -211,7 +214,8 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     t5 = T5TextEncoder(t5_cfg)
     wrapper = DiTVideoWrapper(dit_cfg, num_steps=args.steps,
-                              solver=args.solver, flow_shift=args.flow_shift)
+                              solver=args.solver, flow_shift=args.flow_shift,
+                              sampler_seed=args.sampler_seed)
     vae_dec = TemporalVAEDecoder(vae_cfg)
     if args.checkpoint:
         from vdpp_tpu.utils.weights import load_params

@@ -447,3 +447,28 @@ def test_planner_filters_divergent_deepcache_plans():
         and ((6 // p.stage) % 4 or p.padded_steps != 6)
         for p in unfiltered
     )
+
+
+def test_composes_with_euler_a(tiny, cond):
+    """deepcache x euler_a: one model eval per step (same cadence as
+    euler), the ancestral noise is injected OUTSIDE the cached/full
+    branch — pipelined == single-device oracle with the cache lanes and
+    the stochastic update riding the same payload."""
+    cfg, unet, params = tiny
+    model = StableVideoUNet(cfg, num_steps=STEPS, deepcache_interval=2,
+                            solver="euler_a", sampler_seed=5)
+    step_fn = model.pipeline_step_fn()
+    bundle = (params, cond)
+    noise = (
+        jax.random.normal(jax.random.key(21), (2, B, F, H, W, 4))
+        * model.init_noise_sigma
+    )
+    inputs = model.pack_initial(noise)
+    ref = run_reference_single_device(step_fn, bundle, inputs, STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(STEPS, 2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert model.unpack_final(out).shape == noise.shape

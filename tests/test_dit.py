@@ -187,3 +187,44 @@ def test_joint3d_under_pipeline_stage_invariance(dit3d):
     )
     out = pipe.run(bundle, inputs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_dit_euler_a_pipeline_stage_invariance(dit):
+    """solver='euler_a': the injected noise is a pure function of
+    (sampler_seed, step), so the pipelined run and the single-device
+    oracle draw IDENTICAL noise — elementwise equality survives a
+    stochastic sampler. Also pins determinism and seed sensitivity."""
+    cfg, _, params = dit
+    wrapper = DiTVideoWrapper(cfg, num_steps=STEPS, solver="euler_a",
+                              sampler_seed=7)
+    ctx = jax.random.normal(jax.random.key(6), (B, 2, cfg.cross_attention_dim))
+    guidance = make_guidance_ramp(3.0, F)
+    bundle = (params, ctx, guidance)
+    step_fn = wrapper.pipeline_step_fn()
+    inputs = (
+        jax.random.normal(jax.random.key(8), (2, B, F, H, W, cfg.in_channels))
+        * wrapper.init_noise_sigma
+    )
+    ref = run_reference_single_device(step_fn, bundle, inputs, STEPS)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(STEPS, 2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # Deterministic given (sampler_seed, inputs)...
+    out2 = pipe.run(bundle, inputs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # ...and a different sampler_seed injects different noise.
+    w2 = DiTVideoWrapper(cfg, num_steps=STEPS, solver="euler_a",
+                         sampler_seed=8)
+    ref2 = run_reference_single_device(
+        w2.pipeline_step_fn(), bundle, inputs, STEPS
+    )
+    assert float(jnp.max(jnp.abs(jnp.asarray(ref) - jnp.asarray(ref2)))) > 1e-4
+    # The stochastic path differs from deterministic euler.
+    w_eu = DiTVideoWrapper(cfg, num_steps=STEPS, solver="euler")
+    ref_eu = run_reference_single_device(
+        w_eu.pipeline_step_fn(), bundle, inputs, STEPS
+    )
+    assert float(jnp.max(jnp.abs(jnp.asarray(ref) - jnp.asarray(ref_eu)))) > 1e-4

@@ -16,6 +16,7 @@ import pytest
 from vdpp_tpu.diffusion.scheduler import (
     EulerKarrasSchedule,
     default_timestep_schedule,
+    euler_ancestral_step_v_prediction,
     euler_step_v_prediction,
     karras_sigmas,
     scale_model_input,
@@ -327,3 +328,58 @@ def test_heun_final_step_falls_back_to_euler():
     want = euler_step_v_prediction(x, eps, s, jnp.float32(0.0))
     got = heun_step_v_prediction(x, _oracle_eps, s, jnp.float32(0.0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+# ------------------- euler_a (ancestral, stochastic) ------------------- #
+
+def test_euler_a_ancestral_split_identity():
+    """sigma_up^2 + sigma_down^2 == sigma_next^2: the deterministic step
+    to sigma_down plus noise at sigma_up lands exactly at marginal level
+    sigma_next (the k-diffusion/diffusers ancestral split)."""
+    s, s_next = 2.5, 1.25
+    up2 = s_next**2 * (s**2 - s_next**2) / s**2
+    down = math.sqrt(s_next**2 - up2)
+    assert up2 > 0
+    np.testing.assert_allclose(up2 + down**2, s_next**2, rtol=1e-12)
+
+
+def test_euler_a_identity_padding_is_bitexact():
+    """sigma_next == sigma must be a bitwise no-op even with nonzero
+    noise (sqrt(s_next^2 - 0) can be 1 ulp off s — the step guards it),
+    preserving the padded-schedule invariant for stochastic sampling."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).normal(size=(3, 4)), jnp.float32)
+    z = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)), jnp.float32)
+    s = jnp.float32(700.0)
+    out = euler_ancestral_step_v_prediction(x, eps, z, s, s)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_euler_a_final_step_is_deterministic():
+    """sigma_next == 0 -> sigma_up == 0: the last step ignores the noise
+    (same special case as diffusers) and equals the plain Euler step."""
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(3, 4)), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(4).normal(size=(3, 4)), jnp.float32)
+    z1 = jnp.asarray(np.random.default_rng(5).normal(size=(3, 4)), jnp.float32)
+    z2 = jnp.asarray(np.random.default_rng(6).normal(size=(3, 4)), jnp.float32)
+    s, s0 = jnp.float32(0.002), jnp.float32(0.0)
+    a = euler_ancestral_step_v_prediction(x, eps, z1, s, s0)
+    b = euler_ancestral_step_v_prediction(x, eps, z2, s, s0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(euler_step_v_prediction(x, eps, s, s0)),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_euler_a_noise_scale_is_sigma_up():
+    """The injected-noise coefficient is exactly sigma_up: differencing
+    two runs with noise z and z+1 isolates it."""
+    x = jnp.zeros((2, 2), jnp.float32)
+    eps = jnp.zeros((2, 2), jnp.float32)
+    s, s_next = jnp.float32(2.5), jnp.float32(1.25)
+    a = euler_ancestral_step_v_prediction(x, eps, jnp.zeros_like(x), s, s_next)
+    b = euler_ancestral_step_v_prediction(x, eps, jnp.ones_like(x), s, s_next)
+    up = math.sqrt(1.25**2 * (2.5**2 - 1.25**2) / 2.5**2)
+    np.testing.assert_allclose(np.asarray(b - a), np.full((2, 2), up),
+                               rtol=1e-6)

@@ -240,6 +240,65 @@ def dpmpp2m_step_v_prediction(
     return x_next.astype(out_dtype), denoised.astype(out_dtype)
 
 
+def euler_ancestral_step_v_prediction(
+    latent: jax.Array,
+    noise_pred: jax.Array,
+    noise: jax.Array,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    out_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """One fp32 ancestral (stochastic) Euler update in the same
+    v-prediction parameterization as :func:`euler_step_v_prediction`.
+
+    The ancestral split of the step-to-``sigma_next`` transition
+    (k-diffusion / diffusers EulerAncestralDiscreteScheduler semantics):
+
+        sigma_up^2   = sigma_next^2 (sigma^2 - sigma_next^2) / sigma^2
+        sigma_down^2 = sigma_next^2 - sigma_up^2
+        x <- x + d(x, sigma) (sigma_down - sigma) + sigma_up * noise
+
+    so a deterministic Euler step to ``sigma_down`` plus fresh Gaussian
+    noise at scale ``sigma_up`` lands exactly at marginal level
+    ``sigma_next`` (``sigma_up^2 + sigma_down^2 == sigma_next^2``).
+
+    ``noise`` is caller-provided standard normal — the function stays
+    pure; the wrappers derive it as ``fold_in(sampler_seed, step)`` so
+    the pipelined run and the single-device oracle draw identical noise
+    and the elementwise-equality invariant survives a stochastic
+    sampler.
+
+    Exactness properties the pipeline relies on:
+    * identity padding (``sigma_next == sigma``): sigma_up == 0 and
+      sigma_down == sigma make the update a bitwise no-op (given finite
+      ``noise``);
+    * the final step (``sigma_next == 0``): sigma_up == 0 — the last
+      step is deterministic, same as diffusers.
+
+    Beyond the reference (deterministic EulerDiscrete only,
+    reference: src/models/svd_unet.py:77-102).
+    """
+    out_dtype = out_dtype or latent.dtype
+    x = latent.astype(jnp.float32)
+    eps = noise_pred.astype(jnp.float32)
+    z = noise.astype(jnp.float32)
+    s = jnp.asarray(sigma, dtype=jnp.float32)
+    s_next = jnp.asarray(sigma_next, dtype=jnp.float32)
+
+    up2 = s_next * s_next * (s * s - s_next * s_next) / (s * s)
+    up = jnp.sqrt(jnp.maximum(up2, 0.0))
+    down = jnp.sqrt(jnp.maximum(s_next * s_next - up2, 0.0))
+    # sqrt(s_next^2 - 0) can land 1 ulp off s on identity-padded steps;
+    # force the exact no-op there (the padding-bitwise invariant).
+    same = s_next == s
+    up = jnp.where(same, 0.0, up)
+    dt = jnp.where(same, 0.0, down - s)
+
+    d = (x - _pred_original(x, eps, s)) / s
+    prev = x + d * dt + up * z
+    return prev.astype(out_dtype)
+
+
 def flowmatch_sigmas(num_steps: int, shift: float = 3.0) -> np.ndarray:
     """Shifted-linear flow-matching sigma table, descending, trailing 0.
 

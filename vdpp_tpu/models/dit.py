@@ -36,6 +36,7 @@ from vdpp_tpu.diffusion.scheduler import (
     EulerKarrasSchedule,
     FlowMatchSchedule,
     dpmpp2m_step_v_prediction,
+    euler_ancestral_step_v_prediction,
     euler_step_v_prediction,
     flowmatch_step,
     heun_step_v_prediction,
@@ -383,14 +384,20 @@ class DiTVideoWrapper:
         sigma_max: float = 700.0,
         solver: str = "euler",
         flow_shift: float = 3.0,
+        sampler_seed: int = 0,
     ):
         import os
 
-        if solver not in ("euler", "heun", "dpmpp2m", "flowmatch"):
+        if solver not in ("euler", "euler_a", "heun", "dpmpp2m", "flowmatch"):
             raise ValueError(
-                "solver must be 'euler', 'heun', 'dpmpp2m' or 'flowmatch'"
+                "solver must be 'euler', 'euler_a', 'heun', 'dpmpp2m' or "
+                "'flowmatch'"
             )
         self.solver = solver
+        # euler_a per-step noise seed: fold_in(sampler_seed, step) inside
+        # the traced step — pure in (seed, step), so pipelined == oracle
+        # (see svd_wrapper._ancestral_noise for the full story).
+        self.sampler_seed = int(sampler_seed)
         self.config = config or DiTVideoConfig.latte_xl()
         self.model = DiTVideo(self.config)
         # flowmatch is a different PARAMETERIZATION (rectified flow:
@@ -533,6 +540,14 @@ class DiTVideoWrapper:
         timestep = 0.25 * jnp.log(sigma)
         scaled = lat32 * jax.lax.rsqrt(sigma * sigma + 1.0)
         eps = eps_at(scaled, timestep)
+        if self.solver == "euler_a":
+            key = jax.random.fold_in(
+                jax.random.key(self.sampler_seed), step_idx
+            )
+            z = jax.random.normal(key, lat32.shape, jnp.float32)
+            return euler_ancestral_step_v_prediction(
+                lat32, eps, z, sigma, sigma_next, latent.dtype
+            )
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
 
     def pipeline_step_fn(self, seq_axis: str | None = None, seq_shards: int = 1,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from vdpp_tpu.diffusion.scheduler import (
     EulerKarrasSchedule,
     dpmpp2m_step_v_prediction,
+    euler_ancestral_step_v_prediction,
     euler_step_v_prediction,
     heun_step_v_prediction,
 )
@@ -159,11 +160,14 @@ class StableVideoUNet:
         solver: str = "euler",
         deepcache_interval: int = 0,
         deepcache_split: int = 1,
+        sampler_seed: int = 0,
     ):
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
-        if solver not in ("euler", "heun", "dpmpp2m"):
-            raise ValueError("solver must be 'euler', 'heun' or 'dpmpp2m'")
+        if solver not in ("euler", "euler_a", "heun", "dpmpp2m"):
+            raise ValueError(
+                "solver must be 'euler', 'euler_a', 'heun' or 'dpmpp2m'"
+            )
         if deepcache_interval < 0:
             raise ValueError("deepcache_interval must be >= 0 (0 = off)")
         if deepcache_interval and solver == "heun":
@@ -199,6 +203,15 @@ class StableVideoUNet:
         # previous step's x0_hat rides the pipeline payload packed along
         # the channel axis — scheduler.dpmpp2m_step_v_prediction).
         self.solver = solver
+        # euler_a's per-step noise: fold_in(sampler_seed, step) — a pure
+        # function of (seed, step), so the pipelined run and the single-
+        # device oracle draw IDENTICAL noise (elementwise equality
+        # survives a stochastic sampler). Construction-time, like every
+        # output-changing knob (CLAUDE.md env discipline). Note: samples
+        # in one run share the per-step noise pattern (step_fn sees no
+        # sample id); vary sampler_seed across runs for decorrelated
+        # injected noise.
+        self.sampler_seed = int(sampler_seed)
         # DeepCache-style cached inference (SVDUNet.apply_cached): every
         # `interval`-th REAL step runs the full UNet and refreshes the deep
         # feature cache; the rest run only the shallow `split` levels. The
@@ -547,6 +560,11 @@ class StableVideoUNet:
                     latent.dtype,
                 )
                 head = jnp.concatenate([x_next, denoised], axis=-1)
+            elif self.solver == "euler_a":
+                head = euler_ancestral_step_v_prediction(
+                    x32, eps, self._ancestral_noise(step_idx, x32.shape),
+                    sigma, sigma_next, latent.dtype,
+                )
             else:
                 head = euler_step_v_prediction(
                     x32, eps, sigma, sigma_next, latent.dtype
@@ -592,7 +610,19 @@ class StableVideoUNet:
         eps = self.noise_pred(params, scaled, timestep, cond, cfg_axis=cfg_axis,
                               seq_axis=seq_axis, seq_shards=seq_shards,
                               frame_axis=frame_axis, frame_shards=frame_shards)
+        if self.solver == "euler_a":
+            return euler_ancestral_step_v_prediction(
+                lat32, eps, self._ancestral_noise(step_idx, lat32.shape),
+                sigma, sigma_next, latent.dtype,
+            )
         return euler_step_v_prediction(lat32, eps, sigma, sigma_next, latent.dtype)
+
+    def _ancestral_noise(self, step_idx: jax.Array, shape) -> jax.Array:
+        """euler_a's per-step standard normal: a pure function of
+        (sampler_seed, step) — identical on every device and in the
+        single-device oracle, replicated over every mesh axis."""
+        key = jax.random.fold_in(jax.random.key(self.sampler_seed), step_idx)
+        return jax.random.normal(key, shape, jnp.float32)
 
     def bind(self, cond: SVDConditioning):
         """Close over conditioning -> ``step_fn(params, latent, step)``.

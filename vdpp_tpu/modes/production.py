@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m"],
+                   choices=["euler", "euler_a", "heun", "dpmpp2m"],
                    help="ODE solver: euler (reference semantics), heun "
                         "(2nd-order EDM, 2 model evals/step — roughly half "
                         "the steps for the same ODE error), or dpmpp2m "
@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sampler-seed", type=int, default=0,
+                   help="euler_a only: seed of the per-step injected "
+                        "noise (construction-time; vary per run)")
     p.add_argument("--seq-parallel", type=int, default=1,
                    help="halo-exchange W sharding width per stage: a "
                         "(stage, seq[, cfg]) mesh (latent W must divide "
@@ -197,6 +200,7 @@ def main(argv=None) -> int:
         config, num_steps=args.total_steps, cfg_mode=args.cfg_mode,
         pad_steps_to=stages if args.pad_schedule else None,
         solver=args.solver,
+        sampler_seed=args.sampler_seed,
         deepcache_interval=args.deepcache,
         deepcache_split=args.deepcache_split,
     )
@@ -276,6 +280,10 @@ def main(argv=None) -> int:
                 "num_samples": args.num_samples,
                 "seed": args.seed,
                 "solver": args.solver,
+                # euler_a's injected noise is a function of sampler_seed:
+                # resuming under a different one would splice two
+                # different stochastic trajectories.
+                "sampler_seed": args.sampler_seed,
                 "deepcache": args.deepcache,
                 "deepcache_split": args.deepcache_split,
                 "latent_shape": list(args.latent_shape),

@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("H", "W"))
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "heun", "dpmpp2m", "flowmatch"],
+                   choices=["euler", "euler_a", "heun", "dpmpp2m", "flowmatch"],
                    help="ODE solver (see production --solver); dpmpp2m "
                         "gives 2nd-order accuracy at 1 eval/step — fewer "
                         "--steps for the same quality per request; "
@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler-seed", type=int, default=0,
+                   help="euler_a only: seed of the per-step injected "
+                        "noise (construction-time; vary per run)")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -170,7 +173,8 @@ class _Engine:
                 cross_attention_dim=self.t5_cfg.d_model,
             )
             self.model = DiTVideoWrapper(dit_cfg, num_steps=args.steps,
-                                         solver=args.solver)
+                                         solver=args.solver,
+                                         sampler_seed=args.sampler_seed)
             self.t5 = T5TextEncoder(self.t5_cfg)
             self.t5_params = jax.jit(self.t5.init)(jax.random.key(args.seed + 3))
         else:
@@ -179,6 +183,7 @@ class _Engine:
             )
             self.model = StableVideoUNet(self.unet_cfg, num_steps=args.steps,
                                          solver=args.solver,
+                                         sampler_seed=args.sampler_seed,
                                          deepcache_interval=args.deepcache,
                                          deepcache_split=args.deepcache_split)
         self.vae_dec = TemporalVAEDecoder(self.vae_cfg)
