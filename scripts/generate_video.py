@@ -186,10 +186,9 @@ def main(argv=None) -> int:
     from vdpp_tpu.parallel.mesh import make_pipeline_and_decode_meshes
 
     sp, fp = args.seq_parallel, args.frame_parallel
-    if args.deepcache and (sp > 1 or fp > 1):
-        LOGGER.error("--deepcache does not compose with --seq-parallel/"
-                     "--frame-parallel yet (the stage axis is fine)")
-        return 1
+    # deepcache composes with seq/frame since round 5 (the cache lanes
+    # shard like the latent); StepPipeline still refuses stage-divergent
+    # cond-branch schedules with an actionable error.
     if sp > 1 and lat_w % unet_cfg.seq_min_divisor(sp) != 0:
         LOGGER.error(
             "--seq-parallel %d: latent width %d must divide by sp x "

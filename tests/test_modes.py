@@ -352,3 +352,30 @@ def test_production_mode_deepcache_auto_topology():
     out = r.stderr + r.stdout
     assert "constrained to stage-only plans" not in out
     assert "final latent norm" in out
+
+
+def test_restyle_video_cli(tmp_path):
+    """Video->video SDEdit refinement end to end on the CPU mesh: write a
+    synthetic y4m, restyle at strength 0.5 (schedule tail only), get a
+    playable output back."""
+    import numpy as np
+
+    from vdpp_tpu.utils.native import write_y4m
+
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((yy * 255 / h + xx * 255 / w) / 2).astype(np.uint8)
+    frames = np.stack([np.stack([g, np.roll(g, i * 7, 0), g.T], -1)
+                       for i in range(4)])
+    src = str(tmp_path / "in.y4m")
+    write_y4m(src, frames, fps=7)
+    r = run_cli([
+        "scripts/restyle_video.py", "--input", src, "--strength", "0.5",
+        "--random-weights", "--preset", "tiny", "--backend", "cpu",
+        "--steps", "8", "--num-stages", "2",
+        "--output-dir", str(tmp_path / "out"),
+    ], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = r.stderr + r.stdout
+    assert "4 of 8 steps" in log, log[-1500:]
+    assert any(p.suffix == ".mp4" for p in (tmp_path / "out").iterdir())

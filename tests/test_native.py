@@ -221,3 +221,39 @@ def test_save_video_mp4_native_fallback_is_playable(tmp_path):
     elif out.endswith(".avi"):
         assert head[:4] == b"RIFF"
         assert os.path.exists(str(tmp_path / "v.y4m"))
+
+
+def test_read_y4m_roundtrips_the_writer(tmp_path):
+    """read_y4m inverts the native writer's BT.601/4:2:0 encode: gray
+    content (chroma-neutral) survives within 1 LSB; smooth color within
+    the 4:2:0 box-filter bound; header fps round-trips."""
+    from vdpp_tpu.utils.video_io import read_y4m
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((yy * 255 / h + xx * 255 / w) / 2).astype(np.uint8)
+    gray = np.stack([g, g, g], -1)
+    color = np.stack([g, np.flipud(g), np.fliplr(g)], -1)
+    frames = np.stack([gray, color])
+    path = os.path.join(tmp_path, "rt.y4m")
+    write_y4m(path, frames, fps=9)
+    out, fps = read_y4m(path)
+    assert fps == 9 and out.shape == frames.shape
+    assert np.abs(out[0].astype(int) - gray.astype(int)).max() <= 1
+    err = np.abs(out[1].astype(int) - color.astype(int))
+    assert err.mean() < 4 and err.max() <= 16, (err.mean(), err.max())
+
+
+def test_read_y4m_rejects_garbage(tmp_path):
+    from vdpp_tpu.utils.video_io import read_y4m
+
+    bad = os.path.join(tmp_path, "bad.y4m")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFnot-a-y4m")
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        read_y4m(bad)
+    trunc = os.path.join(tmp_path, "trunc.y4m")
+    with open(trunc, "wb") as f:
+        f.write(b"YUV4MPEG2 W4 H4 F7:1 Ip A1:1 C420jpeg\nFRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        read_y4m(trunc)

@@ -383,3 +383,30 @@ def test_euler_a_noise_scale_is_sigma_up():
     up = math.sqrt(1.25**2 * (2.5**2 - 1.25**2) / 2.5**2)
     np.testing.assert_allclose(np.asarray(b - a), np.full((2, 2), up),
                                rtol=1e-6)
+
+
+# ------------------- denoise_from (SDEdit truncation) ------------------- #
+
+def test_denoise_from_slices_the_exact_tail():
+    full = EulerKarrasSchedule.create(10)
+    for k in (1, 4, 9):
+        part = EulerKarrasSchedule.create(10, denoise_from=k)
+        np.testing.assert_array_equal(part.sigmas, full.sigmas[k:])
+        np.testing.assert_array_equal(part.timesteps, full.timesteps[k:])
+        assert part.num_steps == 10 - k
+
+
+def test_denoise_from_composes_with_padding():
+    part = EulerKarrasSchedule.create(10, denoise_from=4,
+                                      pad_to_multiple_of=4)
+    assert part.num_steps == 8  # 6 real + 2 identity
+    full = EulerKarrasSchedule.create(10)
+    np.testing.assert_array_equal(part.sigmas[2:], full.sigmas[4:])
+    assert part.sigmas[0] == part.sigmas[1] == part.sigmas[2]
+
+
+def test_denoise_from_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        EulerKarrasSchedule.create(10, denoise_from=10)
+    with pytest.raises(ValueError):
+        EulerKarrasSchedule.create(10, denoise_from=-1)

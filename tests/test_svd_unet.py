@@ -357,3 +357,48 @@ def test_temporal_tblock_matches_transpose_formulation():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
     )
+
+
+def test_denoise_from_matches_full_schedule_tail(wrapper_and_cond):
+    """SDEdit truncation (denoise_from=k): running the sliced wrapper is
+    BITWISE the tail of the full wrapper's trajectory — slice the full
+    run at step k and finish it with the truncated schedule."""
+    model, params, cond = wrapper_and_cond
+    k = 2
+    part = StableVideoUNet(model.config, num_steps=NUM_STEPS, denoise_from=k)
+    assert part.num_steps == NUM_STEPS - k
+    assert part.sigma_start == float(model.schedule.sigmas[k])
+    lat0 = (
+        jax.random.normal(jax.random.key(30), (B, F, H, W, 4), jnp.float32)
+        * model.init_noise_sigma
+    )
+    # Full trajectory to step k, then onward with the FULL wrapper...
+    x = lat0
+    for s in range(NUM_STEPS):
+        x = model.step(params, x, s, cond)
+        if s == k - 1:
+            mid = x
+    # ...vs resuming the mid-state through the TRUNCATED wrapper.
+    y = mid
+    for s in range(part.num_steps):
+        y = part.step(params, y, s, cond)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_denoise_from_pipeline_stage_invariance(wrapper_and_cond):
+    """The truncated schedule rides the pipeline unchanged: pipelined ==
+    single-device oracle (the restyle app's configuration)."""
+    model, params, cond = wrapper_and_cond
+    part = StableVideoUNet(model.config, num_steps=NUM_STEPS, denoise_from=2)
+    step_fn = part.pipeline_step_fn()
+    bundle = (params, cond)
+    x0 = jax.random.normal(jax.random.key(31), (1, B, F, H, W, 4), jnp.float32)
+    noise = jax.random.normal(jax.random.key(32), x0.shape, jnp.float32)
+    inputs = x0 + part.sigma_start * noise  # the SDEdit init
+    ref = run_reference_single_device(step_fn, bundle, inputs, part.num_steps)
+    pipe = StepPipeline(
+        make_pipeline_mesh(2), step_fn, PipelineConfig(part.num_steps, 2)
+    )
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -372,6 +372,7 @@ class EulerKarrasSchedule:
         sigma_max: float = 700.0,
         rho: float = 7.0,
         pad_to_multiple_of: int | None = None,
+        denoise_from: int = 0,
     ) -> "EulerKarrasSchedule":
         """Build the schedule; optionally pad to a stage-count multiple.
 
@@ -383,8 +384,23 @@ class EulerKarrasSchedule:
         has dt == 0, making the Euler update an EXACT identity — the
         padded schedule produces bit-identical output to the unpadded one
         at the cost of (pad/total) wasted UNet evaluations.
+
+        ``denoise_from=k`` SLICES the ``num_steps`` table to its last
+        ``num_steps - k`` entries — the SDEdit/img2img truncation: the
+        caller starts from ``x0 + sigmas[0] * noise`` (a partially-noised
+        clean latent at the table's first sigma) instead of pure noise,
+        and the remaining schedule is bit-identical to the tail of the
+        full one. Slicing happens BEFORE padding, so the two compose.
         """
+        if not 0 <= denoise_from < num_steps:
+            raise ValueError(
+                f"denoise_from must be in [0, num_steps), got "
+                f"{denoise_from} of {num_steps}"
+            )
         sig = karras_sigmas(num_steps, sigma_min, sigma_max, rho)
+        if denoise_from:
+            sig = sig[denoise_from:]
+            num_steps -= denoise_from
         if pad_to_multiple_of:
             pad = (-num_steps) % pad_to_multiple_of
             if pad:

@@ -161,6 +161,7 @@ class StableVideoUNet:
         deepcache_interval: int = 0,
         deepcache_split: int = 1,
         sampler_seed: int = 0,
+        denoise_from: int = 0,
     ):
         if cfg_mode not in ("sequential", "batched"):
             raise ValueError("cfg_mode must be 'sequential' or 'batched'")
@@ -192,9 +193,15 @@ class StableVideoUNet:
         self.unet = SVDUNet(self.config)
         # pad_steps_to: run a non-divisible schedule on S stages by
         # prepending exact-identity steps (see EulerKarrasSchedule.create).
+        # denoise_from=k: SDEdit/vid2vid truncation — run only the last
+        # (num_steps - k) steps of the num_steps-step schedule; callers
+        # start from x0 + sigma_start * noise (NOT noise *
+        # init_noise_sigma, which is the pure-noise init scale).
         self.schedule = EulerKarrasSchedule.create(
-            num_steps, sigma_min, sigma_max, pad_to_multiple_of=pad_steps_to
+            num_steps, sigma_min, sigma_max, pad_to_multiple_of=pad_steps_to,
+            denoise_from=denoise_from,
         )
+        num_steps -= denoise_from
         self.cfg_mode = cfg_mode
         # "euler" = the reference's first-order EulerDiscrete semantics;
         # "heun" = 2nd-order EDM (2 model evals/step, ~half the steps for
@@ -320,6 +327,13 @@ class StableVideoUNet:
     @property
     def init_noise_sigma(self) -> float:
         return self.schedule.init_noise_sigma
+
+    @property
+    def sigma_start(self) -> float:
+        """First ACTIVE sigma — with ``denoise_from`` this is the noise
+        level a partially-noised clean latent enters at
+        (``x0 + sigma_start * noise``, the SDEdit init)."""
+        return float(self.schedule.sigmas[0])
 
     def init(self, key: jax.Array) -> dict:
         return self.unet.init(key)

@@ -15,6 +15,71 @@ import numpy as np
 LOGGER = logging.getLogger(__name__)
 
 
+def read_y4m(path: str) -> tuple[np.ndarray, int]:
+    """Read a YUV4MPEG2 4:2:0 file -> (uint8 RGB frames (F, H, W, 3), fps).
+
+    The input leg of the native output leg (native/videopack.cpp writes
+    ``C420jpeg`` via BT.601 studio-swing RGB->YUV with 2x2 box chroma);
+    this reader inverts that conversion (nearest chroma upsample +
+    inverse BT.601), accepting the common C420 siting variants. Feeds
+    the video-to-video restyle app (scripts/restyle_video.py) — the
+    reference has no video-input path at all.
+    """
+    with open(path, "rb") as f:
+        header = f.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"{path}: not a YUV4MPEG2 file ({header[:20]!r})")
+        w = h = 0
+        fps = 30
+        colorspace = "C420jpeg"
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F":
+                num, den = tok[1:].split(":")
+                fps = max(1, round(int(num) / max(int(den), 1)))
+            elif tok[0] == "C":
+                colorspace = tok
+        if not w or not h:
+            raise ValueError(f"{path}: header missing W/H: {header!r}")
+        if not colorspace.startswith("C420"):
+            raise ValueError(
+                f"{path}: only 4:2:0 colorspaces supported, got {colorspace}"
+            )
+        ch, cw = h // 2, w // 2
+        frame_bytes = h * w + 2 * ch * cw
+        frames = []
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"{path}: bad frame marker {line[:20]!r}")
+            raw = f.read(frame_bytes)
+            if len(raw) != frame_bytes:
+                raise ValueError(f"{path}: truncated frame {len(frames)}")
+            planes = np.frombuffer(raw, np.uint8)
+            y = planes[: h * w].reshape(h, w).astype(np.float32)
+            u = planes[h * w: h * w + ch * cw].reshape(ch, cw).astype(np.float32)
+            v = planes[h * w + ch * cw:].reshape(ch, cw).astype(np.float32)
+            # Nearest 2x upsample of the box-averaged chroma.
+            u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+            v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+            # Inverse BT.601 studio swing (videopack.cpp:rgb_to_yuv).
+            yp = (y - 16.0) * 1.164
+            up, vp = u - 128.0, v - 128.0
+            r = yp + 1.596 * vp
+            g = yp - 0.813 * vp - 0.391 * up
+            b = yp + 2.018 * up
+            rgb = np.stack([r, g, b], axis=-1)
+            frames.append(np.clip(rgb + 0.5, 0.0, 255.0).astype(np.uint8))
+    if not frames:
+        raise ValueError(f"{path}: no frames")
+    return np.stack(frames), fps
+
+
 def frames_to_uint8(video: np.ndarray) -> np.ndarray:
     """(F, H, W, 3) float in [-1, 1] -> uint8 [0, 255]."""
     video = np.asarray(video, np.float32)
