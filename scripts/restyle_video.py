@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-bucket-id", type=int, default=127)
     p.add_argument("--noise-aug-strength", type=float, default=0.02)
     p.add_argument("--decode-chunk-frames", type=int, default=4)
+    p.add_argument("--vae-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="VAE compute dtype (bfloat16 halves encode/decode "
+                        "memory and roughly halves decode time; same flag "
+                        "as generate_video.py)")
     p.add_argument("--fps", type=int, default=None,
                    help="output fps (default: the input's)")
     p.add_argument("--seed", type=int, default=42)
@@ -125,8 +130,9 @@ def main(argv=None) -> int:
     frames = frames_u8.astype(np.float32) / 127.5 - 1.0  # [-1, 1]
 
     tiny = args.preset == "tiny"
+    vae_dtype = jnp.bfloat16 if args.vae_dtype == "bfloat16" else jnp.float32
     unet_cfg = SVDUNetConfig.tiny() if tiny else SVDUNetConfig.svd_xt()
-    vae_cfg = VAEConfig.tiny(jnp.float32) if tiny else VAEConfig.svd(jnp.float32)
+    vae_cfg = VAEConfig.tiny(vae_dtype) if tiny else VAEConfig.svd(vae_dtype)
     clip_cfg = CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h_14()
     if tiny:
         import dataclasses
