@@ -400,8 +400,13 @@ def main() -> None:
     }
     # The driver-contract line goes out BEFORE the optional fast-path
     # measurement: a fast-path compile timeout must never cost the
-    # round its one parseable metric.
+    # round its one parseable metric. The wall watchdog is cancelled HERE,
+    # not at the end: once the success line is printed, a late watchdog
+    # fire would append a second, contradictory bare-JSON verdict (the
+    # same double-verdict hazard the dryrun guards against with its
+    # marker file). The fast path gets its own QUIET bound below.
     print(json.dumps(result), flush=True)
+    watchdog.cancel()
 
     if preset == "full" and os.environ.get("VDPP_BENCH_FASTPATH", "1") == "1":
         # Composed-lever fast path (dpmpp2m 15 steps x deepcache-2): the
@@ -411,6 +416,19 @@ def main() -> None:
         # cached deep features), so it is NOT the driver metric — it is
         # emitted as a prefixed FASTPATH_JSON line the driver's one-line
         # JSON parse skips but the artifact tail captures.
+        # Quiet bound: a wedged fast-path compile must not eat the rest of
+        # the driver's capture window, and must NOT print another metric
+        # line — the artifact already carries its one valid verdict.
+        fast_budget = float(os.environ.get("VDPP_BENCH_FASTPATH_WALL_S", "900"))
+
+        def _fast_fire() -> None:
+            log(f"[fastpath] wall budget {fast_budget:.0f}s exceeded; "
+                "exiting with the driver metric already emitted")
+            os._exit(0)
+
+        fast_watchdog = threading.Timer(fast_budget, _fast_fire)
+        fast_watchdog.daemon = True
+        fast_watchdog.start()
         try:
             fast = measure_config(
                 label="fastpath-dpmpp2m15-dc2",
@@ -439,7 +457,7 @@ def main() -> None:
                 }),
                 flush=True,
             )
-    watchdog.cancel()
+        fast_watchdog.cancel()
 
 
 if __name__ == "__main__":

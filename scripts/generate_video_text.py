@@ -144,6 +144,16 @@ def main(argv=None) -> int:
     if not args.checkpoint and not args.random_weights:
         LOGGER.error("provide --checkpoint or --random-weights")
         return 1
+    if (args.negative_prompt is not None or args.negative_token_ids) and (
+        args.guidance_scale is None or args.guidance_scale <= 1.0
+    ):
+        # make_guidance_ramp returns None at <=1.0, which disables CFG —
+        # the negative context would be encoded and then silently ignored.
+        LOGGER.error(
+            "--negative-prompt needs CFG: set --guidance-scale > 1.0 "
+            "(got %s)", args.guidance_scale,
+        )
+        return 1
 
     tiny = args.preset == "tiny"
     if tiny:

@@ -422,6 +422,30 @@ def test_pipeline_refuses_stage_divergent_cond_branches():
     StepPipeline(make_pipeline_mesh(4), plain, PipelineConfig(STEPS, 4))
 
 
+def test_single_stage_deepcache_x_seq_is_exempt_and_matches_oracle():
+    """num_stages == 1 is exempt from the collective-uniformity refusal:
+    with one stage every device runs the SAME step index at every scan
+    slot, so the cached/full predicate is globally uniform whatever the
+    cadence. Regression: the check used to refuse interval-3 on 4 steps
+    even at a single stage (e.g. restyle --seq-parallel N, all devices
+    one stage), a config that is deadlock-free and oracle-exact."""
+    from vdpp_tpu.parallel.mesh import make_axes_mesh
+
+    model, params, cond_, latent = _dc_setup(interval=3)  # 4 % 3 != 0
+    bundle = (params, cond_)
+    inputs = model.pack_initial(latent[None])
+    ref = run_reference_single_device(
+        model.pipeline_step_fn(), bundle, inputs, STEPS
+    )
+    mesh = make_axes_mesh(stage=1, seq=2)
+    step = model.pipeline_step_fn(seq_axis="seq", seq_shards=2)
+    pipe = StepPipeline(mesh, step, PipelineConfig(STEPS, 1))
+    out = pipe.run(bundle, inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 @pytest.mark.fast
 def test_planner_filters_divergent_deepcache_plans():
     """plan_topology(deepcache_interval=N) must never emit a plan that

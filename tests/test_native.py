@@ -257,3 +257,11 @@ def test_read_y4m_rejects_garbage(tmp_path):
         f.write(b"YUV4MPEG2 W4 H4 F7:1 Ip A1:1 C420jpeg\nFRAME\n\x00\x00")
     with pytest.raises(ValueError, match="truncated"):
         read_y4m(trunc)
+    # 10/16-bit 4:2:0 variants carry 2 bytes/sample: a bare C420 prefix
+    # match would read half a frame and fail later with a misleading
+    # error — they must be rejected up front by exact colorspace name.
+    deep = os.path.join(tmp_path, "deep.y4m")
+    with open(deep, "wb") as f:
+        f.write(b"YUV4MPEG2 W4 H4 F7:1 Ip A1:1 C420p10\nFRAME\n" + b"\x00" * 48)
+    with pytest.raises(ValueError, match="8-bit"):
+        read_y4m(deep)

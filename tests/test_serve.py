@@ -231,6 +231,26 @@ def test_negative_prompt_on_svd_is_a_400(server):
     assert code == 400
 
 
+def test_negative_prompt_without_cfg_is_a_400(server_text):
+    """negative_prompt with guidance_scale <= 1.0 must be rejected:
+    make_guidance_ramp disables CFG there, so the negative context would
+    be encoded and silently ignored — a misleading 200."""
+    req = urllib.request.Request(
+        server_text + "/generate",
+        data=json.dumps({
+            "seed": 1, "format": "gif", "prompt": "a red panda",
+            "negative_prompt": "blurry", "guidance_scale": 1.0,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=120)
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
 def test_metrics_endpoint(server):
     """/metrics reports request counters and the rolling latency window
     (exercised after the generate tests above have served requests)."""

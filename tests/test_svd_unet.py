@@ -317,6 +317,34 @@ def test_svd_dpmpp2m_padded_schedule_matches_unpadded(wrapper_and_cond):
     np.testing.assert_allclose(run(padded), run(base), rtol=1e-5, atol=1e-6)
 
 
+def test_svd_euler_a_padded_schedule_matches_unpadded(wrapper_and_cond):
+    """The ancestral sampler must draw the SAME per-step noise sequence
+    under identity padding: _ancestral_noise folds on the REAL step index
+    (pad-adjusted), so a 6-step schedule padded to 8 produces the same
+    final latent as the unpadded 6-step one. Regression: folding on the
+    raw step index made output depend on the stage count whenever
+    auto-padding kicked in (restyle/production --pad-schedule)."""
+    _, params, cond = wrapper_and_cond
+    base = StableVideoUNet(SVDUNetConfig.tiny(), num_steps=6,
+                           solver="euler_a", sampler_seed=7)
+    padded = StableVideoUNet(SVDUNetConfig.tiny(), num_steps=6,
+                             pad_steps_to=4, solver="euler_a",
+                             sampler_seed=7)
+    assert padded.num_steps == 8
+    noise = (
+        jax.random.normal(jax.random.key(22), (B, F, H, W, 4))
+        * base.init_noise_sigma
+    )
+
+    def run(model):
+        x = model.pack_initial(noise)
+        for s in range(model.num_steps):
+            x = model.step(params, x, s, cond)
+        return np.asarray(model.unpack_final(x))
+
+    np.testing.assert_array_equal(run(padded), run(base))
+
+
 def test_temporal_tblock_matches_transpose_formulation():
     """The layout-preserving temporal block must equal the original
     (B*L, F, C)-transposed formulation elementwise."""

@@ -634,8 +634,17 @@ class StableVideoUNet:
     def _ancestral_noise(self, step_idx: jax.Array, shape) -> jax.Array:
         """euler_a's per-step standard normal: a pure function of
         (sampler_seed, step) — identical on every device and in the
-        single-device oracle, replicated over every mesh axis."""
-        key = jax.random.fold_in(jax.random.key(self.sampler_seed), step_idx)
+        single-device oracle, replicated over every mesh axis.
+
+        Folds on the REAL step index (identity-padded leading steps clamp
+        to 0, same as the deepcache cadence): a padded schedule must draw
+        the SAME noise sequence as the unpadded one or the padding
+        contract (EulerKarrasSchedule.create: bit-identical output) — and
+        with it stage-count invariance under auto-padding — breaks. The
+        padded steps themselves ignore the noise (sigma_next == sigma is
+        a guarded bitwise no-op in euler_ancestral_step_v_prediction)."""
+        real = jnp.maximum(step_idx - self._n_pad, 0)
+        key = jax.random.fold_in(jax.random.key(self.sampler_seed), real)
         return jax.random.normal(key, shape, jnp.float32)
 
     def bind(self, cond: SVDConditioning):

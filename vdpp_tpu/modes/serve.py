@@ -350,6 +350,14 @@ class _Engine:
                 "negative_prompt conditions the DiT text family only "
                 "(the SVD preset is image-conditioned)"
             )
+        if negative is not None and (guidance is None or guidance <= 1.0):
+            # make_guidance_ramp disables CFG at <=1.0 — the negative
+            # context would be T5-encoded and then silently ignored, so
+            # reject the request instead of serving a misleading video.
+            raise BadRequest(
+                "negative_prompt needs CFG: set guidance_scale > 1.0 "
+                f"(got {guidance})"
+            )
         jax = self.jax
         args = self.args
         h, w = args.latent_hw

@@ -113,8 +113,14 @@ class StepPipeline:
         # Violations HANG (devices park in different rendezvous) rather
         # than error — observed on the 8-device XLA:CPU mesh, round 5 —
         # so refuse them at construction time.
+        # num_stages == 1 is exempt: every device then runs the SAME step
+        # index at every scan slot (there is only one stage group), so the
+        # branch predicate is globally uniform whatever the cadence or
+        # padding — refusing it would reject valid single-stage
+        # deepcache x seq/frame runs (e.g. restyle --seq-parallel N with
+        # all devices in one stage).
         interval = getattr(step_fn, "collective_uniform_interval", 0)
-        if interval:
+        if interval and config.num_stages > 1:
             pad = getattr(step_fn, "collective_uniform_pad", 0)
             if pad or config.steps_per_stage % interval:
                 raise ValueError(

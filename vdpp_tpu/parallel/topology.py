@@ -247,6 +247,10 @@ def plan_topology(
             (StepPipeline enforces this — violations would deadlock).
             Plans breaking that contract are filtered out here so
             ``--auto-topology --deepcache N`` never selects one.
+            Single-stage plans are exempt (matching StepPipeline): with
+            one stage every device runs the same step at every scan
+            slot, so the predicate is globally uniform whatever the
+            cadence or padding.
 
     Returns:
         Plans sorted best-first by the objective (ties: fewer devices).

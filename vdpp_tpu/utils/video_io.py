@@ -44,9 +44,14 @@ def read_y4m(path: str) -> tuple[np.ndarray, int]:
                 colorspace = tok
         if not w or not h:
             raise ValueError(f"{path}: header missing W/H: {header!r}")
-        if not colorspace.startswith("C420"):
+        # Accept only the 8-bit 4:2:0 siting variants: a bare startswith
+        # check would pass C420p10/C420p16 (2 bytes/sample) and then
+        # miscompute frame_bytes as 8-bit, failing mid-file with a
+        # misleading "bad frame marker" (or yielding garbage frames).
+        if colorspace not in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
             raise ValueError(
-                f"{path}: only 4:2:0 colorspaces supported, got {colorspace}"
+                f"{path}: only 8-bit 4:2:0 colorspaces supported "
+                f"(C420/C420jpeg/C420mpeg2/C420paldv), got {colorspace}"
             )
         ch, cw = h // 2, w // 2
         frame_bytes = h * w + 2 * ch * cw
